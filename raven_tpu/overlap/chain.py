@@ -1,0 +1,139 @@
+"""Anchor chaining: minimizer matches -> overlap coordinates.
+
+TPU-native replacement for the `ram` dependency's chaining stage (the Map
+call sites are reference construct.cc:62, 377-381 and assemble.cc:757,780).
+Semantics follow the minimap/ram family:
+
+  * matches are grouped by (target id, relative strand) and banded by
+    diagonal: a group is a maximal run of diagonal-sorted matches whose
+    consecutive diagonals differ by <= DIAGONAL_BAND;
+  * each group with >= MIN_MATCHES anchors is chained by a longest
+    (strictly) monotonic subsequence over target positions after sorting by
+    query position — increasing for same-strand, decreasing for opposite;
+  * chains are split where consecutive anchors jump more than MAX_GAP on
+    either sequence, and sub-chains shorter than MIN_MATCHES anchors or
+    MIN_SPAN bases are dropped.
+
+A batched O(n^2) masked-DP version of the monotonic-subsequence step runs on
+device (raven_tpu.ops.chain_dp) for large anchor sets; this module is the
+host orchestration + numpy/bisect reference.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left, bisect_right
+
+import numpy as np
+
+from raven_tpu.overlap.types import OVERLAP_DTYPE, make_overlaps
+
+DIAGONAL_BAND = 500
+MIN_MATCHES = 4
+MAX_GAP = 10000
+MIN_SPAN = 100
+
+
+def _lis_indices(values: np.ndarray, increasing: bool) -> np.ndarray:
+    """Indices of one longest strictly monotonic subsequence (patience)."""
+    v = values if increasing else -values.astype(np.int64)
+    tails: list[int] = []  # value of smallest tail of LIS with length i+1
+    tails_idx: list[int] = []
+    prev = np.full(v.size, -1, dtype=np.int64)
+    for i, x in enumerate(v):
+        j = bisect_left(tails, x)
+        if j == len(tails):
+            tails.append(x)
+            tails_idx.append(i)
+        else:
+            tails[j] = x
+            tails_idx[j] = i
+        prev[i] = tails_idx[j - 1] if j > 0 else -1
+    # backtrack
+    out = []
+    i = tails_idx[-1] if tails_idx else -1
+    while i != -1:
+        out.append(i)
+        i = prev[i]
+    return np.array(out[::-1], dtype=np.int64)
+
+
+def chain_matches(
+    lhs_id: int,
+    tid: np.ndarray,
+    same: np.ndarray,
+    qpos: np.ndarray,
+    tpos: np.ndarray,
+    k: int,
+) -> np.ndarray:
+    """Chain raw matches into overlaps. Arrays are parallel; returns a
+    structured overlap array (types.OVERLAP_DTYPE)."""
+    if tid.size == 0:
+        return np.zeros(0, dtype=OVERLAP_DTYPE)
+
+    qpos = qpos.astype(np.int64)
+    tpos = tpos.astype(np.int64)
+    diag = np.where(same.astype(bool), tpos - qpos, tpos + qpos)
+
+    # sort by (tid, same, diagonal)
+    order = np.lexsort((diag, same, tid))
+    tid, same, qpos, tpos, diag = (
+        tid[order],
+        same[order],
+        qpos[order],
+        tpos[order],
+        diag[order],
+    )
+
+    # group boundaries: new (tid, same) or diagonal jump > band
+    new_key = np.empty(tid.size, dtype=bool)
+    new_key[0] = True
+    new_key[1:] = (
+        (tid[1:] != tid[:-1])
+        | (same[1:] != same[:-1])
+        | (np.diff(diag) > DIAGONAL_BAND)
+    )
+    group_starts = np.nonzero(new_key)[0]
+    group_ends = np.append(group_starts[1:], tid.size)
+
+    out = []
+    for gs, ge in zip(group_starts, group_ends):
+        if ge - gs < MIN_MATCHES:
+            continue
+        g_same = bool(same[gs])
+        gq = qpos[gs:ge]
+        gt = tpos[gs:ge]
+        # sort anchors by (qpos, tpos) and chain over tpos
+        sub = np.lexsort((gt, gq))
+        gq, gt = gq[sub], gt[sub]
+        keep = _lis_indices(gt, increasing=g_same)
+        if keep.size < MIN_MATCHES:
+            continue
+        cq, ct = gq[keep], gt[keep]
+        # split on large gaps (query or target)
+        gaps = np.maximum(np.abs(np.diff(cq)), np.abs(np.diff(ct)))
+        cuts = np.nonzero(gaps > MAX_GAP)[0] + 1
+        for piece_q, piece_t in zip(np.split(cq, cuts), np.split(ct, cuts)):
+            if piece_q.size < MIN_MATCHES:
+                continue
+            lhs_begin = int(piece_q[0])
+            lhs_end = int(piece_q[-1]) + k
+            t_lo = int(piece_t.min())
+            t_hi = int(piece_t.max()) + k
+            if lhs_end - lhs_begin < MIN_SPAN or t_hi - t_lo < MIN_SPAN:
+                continue
+            out.append(
+                (
+                    lhs_id,
+                    lhs_begin,
+                    lhs_end,
+                    int(tid[gs]),
+                    t_lo,
+                    t_hi,
+                    piece_q.size,
+                    1 if g_same else 0,
+                )
+            )
+    if not out:
+        return np.zeros(0, dtype=OVERLAP_DTYPE)
+    arr = np.array(out, dtype=np.int64).T
+    return make_overlaps(*arr)

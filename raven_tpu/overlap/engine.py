@@ -1,0 +1,148 @@
+"""Minimizer index + all-vs-all mapping engine.
+
+TPU-native replacement for the `ram` dependency's MinimizerEngine (reference
+use sites: construct.cc:42-44, 62, 363, 372-381; assemble.cc:753-780).  The
+index is a plain sorted struct-of-arrays (hash-sorted), so lookup is
+binary search (np.searchsorted) instead of a pointer hash table, candidate
+expansion is a vectorized gather, and the same layout shards naturally by
+hash range across a device mesh (raven_tpu.parallel.sharded_index).
+
+API mirrors the reference engine:
+  minimize(readset, ids, minhash)  ~ ram Minimize  (construct.cc:42)
+  filter(freq)                     ~ ram Filter    (construct.cc:44)
+  map(readset, i, ...)             ~ ram Map       (construct.cc:62)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from raven_tpu.overlap import chain as chain_mod
+from raven_tpu.overlap.minimizer import minimize_read, minimize_reads
+from raven_tpu.overlap.types import OVERLAP_DTYPE
+
+
+class MinimizerIndex:
+    def __init__(self, k: int = 15, w: int = 5):
+        if not 1 <= k <= 31:
+            raise ValueError("k must be in [1, 31]")
+        self.k = k
+        self.w = w
+        self._hashes = np.empty(0, np.uint64)
+        self._ids = np.empty(0, np.uint32)
+        self._pos = np.empty(0, np.uint32)
+        self._strand = np.empty(0, np.uint8)
+        # distinct-hash directory for O(log n) range lookup
+        self._uniq = np.empty(0, np.uint64)
+        self._uniq_start = np.empty(0, np.int64)
+        self._uniq_count = np.empty(0, np.int64)
+        self._occurrence = np.iinfo(np.int64).max  # filter threshold
+
+    # ------------------------------------------------------------------ build
+    def minimize(self, readset, ids, minhash: bool = False) -> None:
+        """(Re)build the index from the sketches of `ids` (ram Minimize)."""
+        ids = np.asarray(ids, dtype=np.int64)
+        h, i, p, s = minimize_reads(readset, ids, self.k, self.w, minhash)
+        order = np.argsort(h, kind="stable")
+        self._hashes = h[order]
+        self._ids = i[order]
+        self._pos = p[order]
+        self._strand = s[order]
+        if self._hashes.size:
+            uniq, start, count = np.unique(
+                self._hashes, return_index=True, return_counts=True
+            )
+        else:
+            uniq = np.empty(0, np.uint64)
+            start = count = np.empty(0, np.int64)
+        self._uniq = uniq
+        self._uniq_start = start.astype(np.int64)
+        self._uniq_count = count.astype(np.int64)
+        self._occurrence = np.iinfo(np.int64).max
+
+    @property
+    def num_minimizers(self) -> int:
+        return int(self._hashes.size)
+
+    def filter(self, frequency: float) -> None:
+        """Set the occurrence threshold that ignores the `frequency` fraction
+        of most frequent minimizers (ram Filter semantics, construct.cc:44)."""
+        if frequency <= 0 or self._uniq_count.size == 0:
+            self._occurrence = np.iinfo(np.int64).max
+            return
+        counts = np.sort(self._uniq_count)
+        idx = int((1.0 - frequency) * counts.size)
+        idx = min(idx, counts.size - 1)
+        self._occurrence = int(counts[idx])
+
+    # ------------------------------------------------------------------- map
+    def sketch(self, readset, i: int, minhash: bool = False):
+        return minimize_read(readset.sequence(int(i)), self.k, self.w, minhash)
+
+    def map(
+        self,
+        readset,
+        i: int,
+        avoid_equal: bool = True,
+        avoid_symmetric: bool = True,
+        minhash: bool = False,
+        filtered_out: list | None = None,
+        query_sketch=None,
+    ) -> np.ndarray:
+        """Map read `i` against the index; returns structured overlaps.
+
+        avoid_equal: skip hits on the query read itself.
+        avoid_symmetric: skip hits with target id < query id, so each
+          unordered pair is reported exactly once when every read is mapped
+          (cross-batch pairs are found from the earlier read, matching the
+          reference batching scheme at construct.cc:59-77).
+        filtered_out: if given, receives query k-mer start positions whose
+          minimizer was too frequent (consumed by Pile.AddKmers, reference
+          construct.cc:377-383).
+        """
+        if query_sketch is None:
+            qh, qp, qs = self.sketch(readset, i, minhash)
+        else:
+            qh, qp, qs = query_sketch
+        if qh.size == 0 or self._hashes.size == 0:
+            return np.zeros(0, dtype=OVERLAP_DTYPE)
+
+        lo = np.searchsorted(self._hashes, qh, side="left")
+        hi = np.searchsorted(self._hashes, qh, side="right")
+        counts = hi - lo
+
+        too_frequent = counts > self._occurrence
+        if filtered_out is not None and too_frequent.any():
+            filtered_out.extend(qp[too_frequent].tolist())
+
+        usable = (counts > 0) & ~too_frequent
+        if not usable.any():
+            return np.zeros(0, dtype=OVERLAP_DTYPE)
+        lo_u = lo[usable]
+        cnt_u = counts[usable]
+        qp_u = qp[usable]
+        qs_u = qs[usable]
+
+        # expand ranges: index positions of every hit
+        total = int(cnt_u.sum())
+        offsets = np.repeat(np.cumsum(cnt_u) - cnt_u, cnt_u)
+        flat = np.arange(total, dtype=np.int64) - offsets + np.repeat(lo_u, cnt_u)
+        tid = self._ids[flat]
+        tpos = self._pos[flat]
+        tstrand = self._strand[flat]
+        q_pos = np.repeat(qp_u, cnt_u)
+        q_strand = np.repeat(qs_u, cnt_u)
+
+        keep = np.ones(total, dtype=bool)
+        if avoid_equal:
+            keep &= tid != np.uint32(i)
+        if avoid_symmetric:
+            keep &= tid > np.uint32(i)
+        if not keep.any():
+            return np.zeros(0, dtype=OVERLAP_DTYPE)
+        tid = tid[keep]
+        tpos = tpos[keep]
+        same = (tstrand[keep] == q_strand[keep]).astype(np.uint8)
+        q_pos = q_pos[keep]
+
+        return chain_mod.chain_matches(i, tid, same, q_pos, tpos, self.k)

@@ -1,0 +1,86 @@
+"""Test configuration: force a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding tests run on XLA's
+host-platform device emulation instead (the driver separately dry-runs the
+multi-chip path via __graft_entry__.dryrun_multichip).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DATA = "/root/reference/RavenTest/data"
+
+
+def lambda_reads_path() -> str:
+    return os.path.join(REFERENCE_DATA, "ERA476754.fastq.gz")
+
+
+def lambda_truth_path() -> str:
+    return os.path.join(REFERENCE_DATA, "NC_001416.fasta.gz")
+
+
+def has_lambda_data() -> bool:
+    return os.path.exists(lambda_reads_path()) and os.path.exists(
+        lambda_truth_path()
+    )
+
+
+requires_lambda = pytest.mark.skipif(
+    not has_lambda_data(), reason="bundled lambda-phage test data not present"
+)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(21)
+
+
+@pytest.fixture(scope="session")
+def lambda_reads():
+    from raven_tpu.io import parse_file
+
+    return parse_file(lambda_reads_path())
+
+
+@pytest.fixture(scope="session")
+def lambda_truth():
+    from raven_tpu.io import parse_file
+
+    return parse_file(lambda_truth_path())
+
+
+def random_genome(rng, n: int) -> str:
+    return "".join("ACGT"[c] for c in rng.integers(0, 4, size=n))
+
+
+def sample_reads(rng, genome: str, n_reads: int, mean_len: int, error: float = 0.0):
+    """Simple read simulator (substitutions only unless error includes indels)."""
+    reads = []
+    positions = []
+    g = np.frombuffer(genome.encode(), dtype=np.uint8)
+    lookup = {65: 0, 67: 1, 71: 2, 84: 3}
+    gcodes = np.array([lookup[int(x)] for x in g], dtype=np.uint8)
+    for _ in range(n_reads):
+        length = max(200, int(rng.normal(mean_len, mean_len // 4)))
+        length = min(length, len(genome) - 1)
+        start = int(rng.integers(0, len(genome) - length))
+        codes = gcodes[start : start + length].copy()
+        if error > 0:
+            nerr = rng.binomial(length, error)
+            idx = rng.integers(0, length, size=nerr)
+            codes[idx] = (codes[idx] + rng.integers(1, 4, size=nerr)) % 4
+        strand = bool(rng.integers(0, 2))
+        if strand:
+            codes = (codes[::-1] ^ 3).astype(np.uint8)
+        reads.append(codes)
+        positions.append((start, start + length, strand))
+    return reads, positions
