@@ -1,0 +1,465 @@
+"""Overlap phase: all-vs-all mapping, pile analysis, graph construction.
+
+Phase driver with the reference's seven sub-stages and stage gating
+(RavenLib/src/construct.cc), restructured around batched mapping and
+vectorized overlap/pile transforms.  The reference's thread-pool fan-out
+(construct.cc:57-113) becomes whole-batch array work; the byte-budget
+batching of the minimizer index (4 GiB index / 1 GiB map batches,
+construct.cc:35,67) is kept so genomes larger than memory stream through.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from raven_tpu.config import OverlapPhaseCfg
+from raven_tpu.graph import overlap_utils as ou
+from raven_tpu.graph.graph import Graph
+from raven_tpu.overlap.engine import MinimizerIndex
+from raven_tpu.overlap.types import OVERLAP_DTYPE, overlap_length, overlap_reverse
+from raven_tpu.pile.pile import Piles
+
+INDEX_BATCH_BYTES = 1 << 32  # construct.cc:35
+MAP_BATCH_BYTES = 1 << 30  # construct.cc:67
+SECOND_PASS_BATCH_BYTES = 1 << 30  # construct.cc:356
+VALID_REGION_COVERAGE = 4  # construct.cc:134
+
+
+def _log(msg: str, t0: float) -> None:
+    print(
+        f"[raven_tpu::Graph::Construct] {msg} {time.perf_counter() - t0:.6f}s",
+        file=sys.stderr,
+    )
+
+
+def _concat(parts: list[np.ndarray]) -> np.ndarray:
+    parts = [p for p in parts if p.size]
+    if not parts:
+        return np.zeros(0, dtype=OVERLAP_DTYPE)
+    return np.concatenate(parts)
+
+
+def find_overlaps_and_create_piles(
+    index: MinimizerIndex,
+    readset,
+    cfg: OverlapPhaseCfg,
+    piles: Piles,
+    overlaps: list[np.ndarray],
+) -> None:
+    """Stage -5 part 1 (reference construct.cc:14-121): batched all-vs-all
+    mapping, per-read layer accumulation, capping stored overlaps to the
+    `max_num_overlaps` longest."""
+    n = len(readset)
+    lengths = readset.lengths
+
+    batch_start = 0
+    bytes_acc = 0
+    for i in range(n):
+        bytes_acc += int(lengths[i])
+        if i != n - 1 and bytes_acc < INDEX_BATCH_BYTES:
+            continue
+        bytes_acc = 0
+
+        t0 = time.perf_counter()
+        index.minimize(
+            readset, np.arange(batch_start, i + 1), minhash=cfg.use_minhash
+        )
+        index.filter(cfg.freq)
+        _log(f"minimized {batch_start} - {i + 1} / {n}", t0)
+
+        t0 = time.perf_counter()
+        map_bytes = 0
+        pending: list[np.ndarray] = []
+        num_overlaps = [int(overlaps[k].size) for k in range(n)]
+        for k in range(i + 1):
+            ovl = index.map(
+                readset,
+                k,
+                avoid_equal=True,
+                avoid_symmetric=True,
+                minhash=True,
+            )
+            if ovl.size:
+                pending.append(ovl)
+            map_bytes += int(lengths[k])
+            if k != i and map_bytes < MAP_BATCH_BYTES:
+                continue
+            map_bytes = 0
+
+            new = _concat(pending)
+            pending = []
+            if new.size:
+                # distribute to both endpoint lists
+                rev = overlap_reverse(new)
+                order_lhs = np.argsort(new["lhs_id"], kind="stable")
+                order_rhs = np.argsort(rev["lhs_id"], kind="stable")
+                for arr, order in ((new, order_lhs), (rev, order_rhs)):
+                    srt = arr[order]
+                    ids, starts = np.unique(srt["lhs_id"], return_index=True)
+                    for rid, chunk in zip(
+                        ids.tolist(), np.split(srt, starts[1:])
+                    ):
+                        overlaps[rid] = _concat([overlaps[rid], chunk])
+                # accumulate coverage for the newly added overlaps
+                both = _concat([new, rev])
+                piles.add_layers(
+                    both["lhs_id"].astype(np.int64),
+                    both["lhs_begin"].astype(np.int64),
+                    both["lhs_end"].astype(np.int64),
+                )
+
+            # cap stored overlaps (construct.cc:92-108)
+            for rid in range(n):
+                sz = int(overlaps[rid].size)
+                if sz == 0 or sz == num_overlaps[rid]:
+                    continue
+                num_overlaps[rid] = min(sz, cfg.max_num_overlaps)
+                if sz < cfg.max_num_overlaps:
+                    continue
+                lens = overlap_length(overlaps[rid])
+                order = np.argsort(-lens, kind="stable")[: cfg.max_num_overlaps]
+                overlaps[rid] = overlaps[rid][order]
+        _log("mapped sequences", t0)
+        batch_start = i + 1
+
+
+def trim_and_annotate_piles(piles: Piles, overlaps: list[np.ndarray]) -> None:
+    """Stage -5 part 2 (reference construct.cc:123-152)."""
+    t0 = time.perf_counter()
+    for i in range(piles.n):
+        piles.find_valid_region(i, VALID_REGION_COVERAGE)
+        if piles.is_invalid[i]:
+            overlaps[i] = np.zeros(0, dtype=OVERLAP_DTYPE)
+        else:
+            piles.find_median(i)
+            piles.find_chimeric_regions(i)
+    _log("annotated piles", t0)
+
+
+def resolve_contained_reads(
+    piles: Piles,
+    overlaps: list[np.ndarray],
+    readset,
+    identity: float = 0.0,
+) -> None:
+    """Stage -5 part 3 (reference construct.cc:154-248)."""
+    t0 = time.perf_counter()
+    if identity != 0:
+        from raven_tpu.ops.edit_distance import overlap_identity
+
+        for i in range(piles.n):
+            if overlaps[i].size == 0:
+                continue
+            upd, keep = ou.overlap_update(overlaps[i], piles)
+            upd = upd[keep]
+            scores = overlap_identity(upd, readset)
+            overlaps[i] = upd[scores >= identity]
+        _log("filtered overlaps", t0)
+        t0 = time.perf_counter()
+
+    for i in range(piles.n):
+        if overlaps[i].size == 0:
+            continue
+        upd, keep = ou.overlap_update(overlaps[i], piles)
+        upd = upd[keep]
+        if upd.size == 0:
+            overlaps[i] = upd
+            continue
+        t = ou.get_overlap_type(upd, piles)
+        rhs_ids = upd["rhs_id"].astype(np.int64)
+        lhs_contained = (t == 1) & ~np.array(
+            [piles.is_maybe_chimeric(int(r)) for r in rhs_ids]
+        )
+        rhs_contained = (t == 2) & ~np.full(upd.size, piles.is_maybe_chimeric(i))
+        if lhs_contained.any():
+            piles.is_contained[i] = True
+        for r in rhs_ids[rhs_contained]:
+            piles.is_contained[int(r)] = True
+        overlaps[i] = upd[~lhs_contained & ~rhs_contained]
+
+    for i in range(piles.n):
+        if piles.is_contained[i]:
+            piles.is_invalid[i] = True
+            overlaps[i] = np.zeros(0, dtype=OVERLAP_DTYPE)
+    _log("removed contained sequences", t0)
+
+
+def resolve_chimeric_sequences(piles: Piles, overlaps: list[np.ndarray]) -> None:
+    """Stage -5 part 4 (reference construct.cc:250-314)."""
+    t0 = time.perf_counter()
+    medians = piles.median[piles.median != 0]
+    if medians.size == 0:
+        _log("removed chimeric sequences", t0)
+        return
+    k = medians.size // 2
+    median = int(np.partition(medians, k)[k])
+
+    for i in range(piles.n):
+        if piles.is_invalid[i]:
+            continue
+        piles.clear_chimeric_regions(i, median)
+        if piles.is_invalid[i]:
+            overlaps[i] = np.zeros(0, dtype=OVERLAP_DTYPE)
+
+    for i in range(piles.n):
+        if overlaps[i].size == 0:
+            continue
+        upd, keep = ou.overlap_update(overlaps[i], piles)
+        overlaps[i] = upd[keep]
+
+    for i in range(piles.n):
+        if overlaps[i].size == 0:
+            continue
+        t = ou.get_overlap_type(overlaps[i], piles)
+        for o, ty in zip(overlaps[i], t):
+            if ty == 1:
+                piles.is_contained[int(o["lhs_id"])] = True
+                piles.is_invalid[int(o["lhs_id"])] = True
+            elif ty == 2:
+                piles.is_contained[int(o["rhs_id"])] = True
+                piles.is_invalid[int(o["rhs_id"])] = True
+
+    for i in range(piles.n):
+        overlaps[i] = np.zeros(0, dtype=OVERLAP_DTYPE)
+    _log("removed chimeric sequences", t0)
+
+
+def find_overlaps_and_repetitive_regions(
+    index: MinimizerIndex,
+    readset,
+    cfg: OverlapPhaseCfg,
+    piles: Piles,
+) -> np.ndarray:
+    """Stage -4 part 1 (reference construct.cc:316-491): second mapping pass
+    over valid reads only, capturing too-frequent k-mers into piles.
+    Returns the surviving dovetail overlap array (the reference's
+    overlaps.back())."""
+    order = sorted(
+        range(len(readset)), key=lambda i: (bool(piles.is_invalid[i]), i)
+    )
+    s = next(
+        (idx for idx, i in enumerate(order) if piles.is_invalid[i]), len(order)
+    )
+
+    kept: list[np.ndarray] = []
+
+    def merge(ovl: np.ndarray) -> None:
+        """OverlapUpdate + typing + adjacent same-pair dedup keeping the
+        longer (construct.cc:430-455)."""
+        upd, keep = ou.overlap_update(ovl, piles)
+        upd = upd[keep]
+        if upd.size == 0:
+            return
+        t = ou.get_overlap_type(upd, piles)
+        for lhs in upd["lhs_id"][t == 1]:
+            piles.is_contained[int(lhs)] = True
+        for rhs in upd["rhs_id"][t == 2]:
+            piles.is_contained[int(rhs)] = True
+        dovetail = upd[t >= 3]
+        for o in dovetail:
+            if (
+                kept
+                and kept[-1]["lhs_id"] == o["lhs_id"]
+                and kept[-1]["rhs_id"] == o["rhs_id"]
+            ):
+                if overlap_length(kept[-1].reshape(1))[0] < overlap_length(
+                    o.reshape(1)
+                )[0]:
+                    kept[-1] = o
+            else:
+                kept.append(o)
+
+    bytes_acc = 0
+    batch_start = 0
+    for idx in range(s):
+        bytes_acc += int(readset.lengths[order[idx]])
+        if idx != s - 1 and bytes_acc < SECOND_PASS_BATCH_BYTES:
+            continue
+        bytes_acc = 0
+
+        t0 = time.perf_counter()
+        ids = np.array(order[batch_start : idx + 1], dtype=np.int64)
+        index.minimize(readset, ids, minhash=False)
+        _log(f"minimized {batch_start} - {idx + 1} / {s}", t0)
+
+        t0 = time.perf_counter()
+        index.filter(cfg.freq)
+        for k in range(idx + 1):
+            rid = order[k]
+            filtered: list[int] = []
+            ovl = index.map(
+                readset,
+                rid,
+                avoid_equal=True,
+                avoid_symmetric=True,
+                minhash=False,
+                filtered_out=filtered,
+            )
+            piles.add_kmers(rid, filtered, cfg.kmer_len, readset.sequence(rid))
+            if cfg.identity != 0 and ovl.size:
+                from raven_tpu.ops.edit_distance import overlap_identity
+
+                upd, keep = ou.overlap_update(ovl, piles)
+                upd = upd[keep]
+                scores = overlap_identity(upd, readset)
+                ovl = upd[scores >= cfg.identity]
+            if ovl.size:
+                merge(ovl)
+        _log("mapped valid sequences", t0)
+        batch_start = idx + 1
+
+    t0 = time.perf_counter()
+    for i in range(piles.n):
+        if piles.is_contained[i]:
+            piles.is_invalid[i] = True
+
+    result = (
+        np.array(kept, dtype=OVERLAP_DTYPE)
+        if kept
+        else np.zeros(0, dtype=OVERLAP_DTYPE)
+    )
+    if result.size:
+        upd, keep = ou.overlap_update(result, piles)
+        result = upd[keep]
+    _log("updated overlaps", t0)
+    return result
+
+
+def resolve_repeat_induced_overlaps(
+    piles: Piles, overlaps: np.ndarray, readset
+) -> np.ndarray:
+    """Stage -4 part 2 (reference construct.cc:493-559): fixed-point loop
+    dropping overlaps blocked by confirmed repeat regions."""
+    t0 = time.perf_counter()
+    while True:
+        components = ou.connected_components(overlaps, len(readset), piles)
+        for comp in components:
+            meds = piles.median[np.array(comp, dtype=np.int64)]
+            k = meds.size // 2
+            median = int(np.partition(meds, k)[k])
+            for i in comp:
+                piles.find_repetitive_regions(i, median)
+
+        for o in overlaps:
+            for side in ("lhs", "rhs"):
+                piles.update_repetitive_regions(
+                    int(o[f"{side}_id"]),
+                    int(o[f"{side}_begin"]),
+                    int(o[f"{side}_end"]),
+                )
+
+        keep = np.ones(overlaps.size, dtype=bool)
+        changed = False
+        for j, o in enumerate(overlaps):
+            if piles.check_repetitive_regions(
+                int(o["lhs_id"]), int(o["lhs_begin"]), int(o["lhs_end"])
+            ) or piles.check_repetitive_regions(
+                int(o["rhs_id"]), int(o["rhs_begin"]), int(o["rhs_end"])
+            ):
+                changed = True
+                keep[j] = False
+        overlaps = overlaps[keep]
+
+        if not changed:
+            break
+        for comp in components:
+            for i in comp:
+                piles.clear_repetitive_regions(i)
+    _log("removed false overlaps", t0)
+    return overlaps
+
+
+def construct_assembly_graph(
+    graph: Graph, piles: Piles, overlaps: np.ndarray, readset
+) -> None:
+    """Stage -4 part 3 (reference construct.cc:561-648): node + RC pair per
+    valid pile, edge + RC pair per dovetail overlap."""
+    t0 = time.perf_counter()
+    sequence_to_node = np.full(piles.n, -1, dtype=np.int64)
+
+    for i in range(piles.n):
+        if piles.is_invalid[i]:
+            continue
+        begin = piles.begin_bases(i)
+        end = piles.end_bases(i)
+        codes = readset.sequence(i, begin, end - begin)
+        sequence_to_node[i] = graph.next_node_index()
+        graph.new_node_pair(
+            readset.names[i], codes, seq_id=i, coverage=int(piles.median[i])
+        )
+    _log(f"stored {sum(n is not None for n in graph.nodes)} nodes", t0)
+
+    t0 = time.perf_counter()
+    fin, keep = ou.overlap_finalize(overlaps, piles)
+    fin = fin[keep]
+    n_edges = 0
+    for o in fin:
+        lhs, rhs = int(o["lhs_id"]), int(o["rhs_id"])
+        tail = graph.nodes[sequence_to_node[lhs]]
+        head = graph.nodes[sequence_to_node[rhs] + 1 - int(o["strand"])]
+        length = int(o["lhs_begin"]) - int(o["rhs_begin"])
+        length_pair = (piles.length_bases(rhs) - int(o["rhs_end"])) - (
+            piles.length_bases(lhs) - int(o["lhs_end"])
+        )
+        if o["score"] == 4:
+            tail, head = head, tail
+            length = -length
+            length_pair = -length_pair
+        graph.new_edge_pair(tail, head, length, length_pair)
+        n_edges += 2
+    _log(f"stored {n_edges} edges", t0)
+
+
+def construct_graph(
+    graph: Graph,
+    readset,
+    cfg: OverlapPhaseCfg | None = None,
+    checkpoints: bool = False,
+) -> None:
+    """Full overlap phase with stage gating (reference construct.cc:650-707)."""
+    cfg = cfg or OverlapPhaseCfg()
+    if len(readset) == 0 or graph.stage > -4:
+        return
+
+    total_t0 = time.perf_counter()
+    index = MinimizerIndex(cfg.kmer_len, cfg.window_len)
+
+    if graph.stage == -5:
+        piles = Piles(readset.lengths)
+        graph.piles = piles
+        overlaps: list[np.ndarray] = [
+            np.zeros(0, dtype=OVERLAP_DTYPE) for _ in range(len(readset))
+        ]
+        find_overlaps_and_create_piles(index, readset, cfg, piles, overlaps)
+        trim_and_annotate_piles(piles, overlaps)
+        resolve_contained_reads(piles, overlaps, readset, cfg.identity)
+        resolve_chimeric_sequences(piles, overlaps)
+        graph.stage += 1
+        if checkpoints:
+            from raven_tpu.graph.binary import store_graph
+
+            t0 = time.perf_counter()
+            store_graph(graph)
+            _log("reached checkpoint", t0)
+
+    if graph.stage == -4:
+        piles = graph.piles
+        all_overlaps = find_overlaps_and_repetitive_regions(
+            index, readset, cfg, piles
+        )
+        all_overlaps = resolve_repeat_induced_overlaps(
+            piles, all_overlaps, readset
+        )
+        construct_assembly_graph(graph, piles, all_overlaps, readset)
+        graph.stage += 1
+        if checkpoints:
+            from raven_tpu.graph.binary import store_graph
+
+            t0 = time.perf_counter()
+            store_graph(graph)
+            _log("reached checkpoint", t0)
+
+    _log("", total_t0)

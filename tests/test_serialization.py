@@ -1,0 +1,124 @@
+import os
+
+import numpy as np
+
+from raven_tpu.config import OverlapPhaseCfg
+from raven_tpu.graph import (
+    Graph,
+    assemble,
+    construct_graph,
+    get_gfa,
+    get_unitigs,
+    load_gfa,
+    load_graph,
+    print_gfa,
+    print_json,
+    print_unitig_gfa,
+    store_graph,
+)
+from raven_tpu.io import ReadSet
+from tests.conftest import random_genome, sample_reads
+
+
+def _build(rng, tmpdir=None):
+    genome = random_genome(rng, 20000)
+    reads, _ = sample_reads(rng, genome, 150, 3000, error=0.03)
+    rs = ReadSet.from_sequences(reads)
+    graph = Graph()
+    construct_graph(graph, rs, OverlapPhaseCfg())
+    return rs, graph
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    rs, graph = _build(rng)
+    ckpt = str(tmp_path / "test.ckpt")
+    store_graph(graph, ckpt)
+    loaded = load_graph(ckpt)
+
+    assert loaded.stage == graph.stage
+    assert len(loaded.nodes) == len(graph.nodes)
+    assert len(loaded.edges) == len(graph.edges)
+    for a, b in zip(graph.nodes, loaded.nodes):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert a.id == b.id and a.name == b.name
+            assert np.array_equal(a.codes, b.codes)
+            assert b.pair is not None and b.pair.id == a.pair.id
+    for a, b in zip(graph.edges, loaded.edges):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert a.length == b.length
+            assert a.tail.id == b.tail.id and a.head.id == b.head.id
+    # piles restored
+    assert np.array_equal(graph.piles.data, loaded.piles.data)
+    assert np.array_equal(graph.piles.begin, loaded.piles.begin)
+
+
+def test_checkpoint_resume_equality(rng, tmp_path, monkeypatch):
+    """Assembling straight through vs reloading between phases must give
+    identical contigs (reference raven_test.cpp:69-95 Checkpoints test)."""
+    monkeypatch.chdir(tmp_path)
+    from raven_tpu.graph import layout
+
+    genome = random_genome(rng, 20000)
+    reads, _ = sample_reads(rng, genome, 150, 3000, error=0.03)
+    rs = ReadSet.from_sequences(reads)
+
+    layout.reset_seed()
+    g1 = Graph()
+    construct_graph(g1, rs, OverlapPhaseCfg())
+    assemble(g1)
+    u1 = get_unitigs(g1)
+
+    layout.reset_seed()
+    g = Graph()
+    construct_graph(g, rs, OverlapPhaseCfg(), checkpoints=True)
+    g = load_graph()
+    assemble(g, checkpoints=True)
+    g = load_graph()
+    u2 = get_unitigs(g)
+
+    assert len(u1) == len(u2)
+    for a, b in zip(u1, u2):
+        assert np.array_equal(a.codes, b.codes)
+
+
+def test_gfa_roundtrip(rng, tmp_path):
+    rs, graph = _build(rng)
+    gfa_path = str(tmp_path / "graph.gfa")
+    print_gfa(graph, gfa_path)
+    loaded = load_gfa(gfa_path)
+    assert loaded.stage == -3
+
+    # same S records survive the round trip
+    orig_lines = get_gfa(graph, include_dp=True)
+    orig_s = sorted(
+        line.split("\t")[1] for line in orig_lines if line.startswith("S")
+    )
+    loaded_names = sorted(n.name for n in loaded.live_nodes() if not n.is_rc)
+    assert orig_s == loaded_names
+
+    # edge count: loader creates one edge per non-circular L line
+    orig_l = [
+        line
+        for line in orig_lines
+        if line.startswith("L") and not line.split("\t")[1] == line.split("\t")[3]
+    ]
+    assert len([e for e in loaded.edges if e is not None]) == len(orig_l)
+
+
+def test_unitig_gfa_and_json(rng, tmp_path):
+    rs, graph = _build(rng)
+    assemble(graph)
+    ugfa = str(tmp_path / "unitigs.gfa")
+    print_unitig_gfa(graph, ugfa)
+    assert os.path.getsize(ugfa) > 0
+    pj = str(tmp_path / "piles.json")
+    print_json(graph, pj)
+    import json
+
+    with open(pj) as fh:
+        piles = json.load(fh)
+    assert len(piles) > 0
+    first = next(iter(piles.values()))
+    assert "data_" in first and "median_" in first
