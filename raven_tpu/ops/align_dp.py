@@ -1,0 +1,159 @@
+"""Batched semi-global alignment DP for window breakpoint finding.
+
+The polisher must know, for every 500-base target window, which query
+(read) interval maps onto it.  The reference's racon dependency runs one
+whole-overlap edlib alignment per read and walks the path; the TPU-native
+re-design aligns window-sized pieces progressively — each piece is a small
+global-in-target / free-end-in-query edit-distance DP, batched across all
+active overlaps, so the hot loop is a rectangular wavefront ideal for
+vectorization (numpy here, jax.lax.scan on device in raven_tpu.ops.jax_dp).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BIG = np.int32(1 << 20)
+
+
+def batched_piece_align(
+    targets: np.ndarray,
+    t_lens: np.ndarray,
+    queries: np.ndarray,
+    q_lens: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Align each target piece (consumed fully) against a query prefix with a
+    free end; returns (best_dist[B], q_end[B]).
+
+    targets: [B, T] uint8 codes (padded);  queries: [B, Q] uint8 (padded).
+    """
+    B, T = targets.shape
+    Q = queries.shape[1]
+    idx = np.arange(Q + 1, dtype=np.int32)
+
+    prev = np.broadcast_to(idx, (B, Q + 1)).astype(np.int32).copy()  # D[0][:]
+    result = np.full((B, Q + 1), BIG, dtype=np.int32)
+    done0 = t_lens == 0
+    if done0.any():
+        result[done0] = prev[done0]
+
+    for r in range(T):
+        sub = prev[:, :-1] + (queries != targets[:, r : r + 1])
+        e = np.empty((B, Q + 1), dtype=np.int32)
+        e[:, 0] = r + 1
+        e[:, 1:] = np.minimum(sub, prev[:, 1:] + 1)
+        # horizontal closure: D[j] = min_k<=j (E[k] + j - k)
+        prev = np.minimum.accumulate(e - idx, axis=1) + idx
+        hit = t_lens == r + 1
+        if hit.any():
+            result[hit] = prev[hit]
+
+    # mask query positions beyond each query's length
+    mask = idx[None, :] > q_lens[:, None]
+    result = np.where(mask, BIG, result)
+    q_end = np.argmin(result, axis=1).astype(np.int64)
+    best = result[np.arange(B), q_end]
+    return best.astype(np.int64), q_end
+
+
+def batched_infix_align(
+    targets: np.ndarray,
+    t_lens: np.ndarray,
+    queries: np.ndarray,
+    q_lens: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Infix alignment: target consumed fully, query start AND end free.
+
+    Returns (best_dist[B], q_start[B], q_end[B]).  The start column is
+    propagated through the DP packed with the score into one int64 key
+    (score-major), so ties resolve to the smallest start.
+    """
+    B, T = targets.shape
+    Q = queries.shape[1]
+    idx = np.arange(Q + 1, dtype=np.int64)
+
+    OFFSET = np.int64(1 << 20)
+    SHIFT = np.int64(21)  # start fits in 21 bits (Q < 2M)
+
+    def pack(val, start):
+        return ((val.astype(np.int64) + OFFSET) << SHIFT) | start.astype(np.int64)
+
+    def unpack(key):
+        return (key >> SHIFT) - OFFSET, key & ((np.int64(1) << SHIFT) - 1)
+
+    # row 0: D = 0 everywhere, start = own column
+    prev_v = np.zeros((B, Q + 1), dtype=np.int64)
+    prev_s = np.broadcast_to(idx, (B, Q + 1)).copy()
+    res_v = np.full((B, Q + 1), np.int64(BIG), dtype=np.int64)
+    res_s = np.zeros((B, Q + 1), dtype=np.int64)
+    done0 = t_lens == 0
+    if done0.any():
+        res_v[done0] = prev_v[done0]
+        res_s[done0] = prev_s[done0]
+
+    for r in range(T):
+        sub_v = prev_v[:, :-1] + (queries != targets[:, r : r + 1])
+        up_v = prev_v[:, 1:] + 1
+        # prefer diagonal on ties (anchored paths)
+        take_up = up_v < sub_v
+        e_v = np.where(take_up, up_v, sub_v)
+        e_s = np.where(take_up, prev_s[:, 1:], prev_s[:, :-1])
+        cur_v = np.empty((B, Q + 1), dtype=np.int64)
+        cur_s = np.empty((B, Q + 1), dtype=np.int64)
+        cur_v[:, 0] = prev_v[:, 0] + 1
+        cur_s[:, 0] = prev_s[:, 0]
+        cur_v[:, 1:] = e_v
+        cur_s[:, 1:] = e_s
+        # horizontal closure with start propagation via packed keys
+        key = pack(cur_v - idx, cur_s)
+        key = np.minimum.accumulate(key, axis=1)
+        kv, ks = unpack(key)
+        cur_v = kv + idx
+        cur_s = ks
+        prev_v, prev_s = cur_v, cur_s
+        hit = t_lens == r + 1
+        if hit.any():
+            res_v[hit] = cur_v[hit]
+            res_s[hit] = cur_s[hit]
+
+    mask = idx[None, :] > q_lens[:, None]
+    res_v = np.where(mask, np.int64(BIG), res_v)
+    q_end = np.argmin(res_v, axis=1).astype(np.int64)
+    rows = np.arange(B)
+    return res_v[rows, q_end], res_s[rows, q_end], q_end
+
+
+def find_window_breakpoints(
+    query: np.ndarray,
+    target: np.ndarray,
+    t_begin: int,
+    t_end: int,
+    window_len: int,
+) -> list[tuple[int, int, int, int]]:
+    """Single-overlap reference implementation (unbatched) used by tests.
+
+    Returns [(window_id, window_rel_begin, q_begin, q_end)] with q
+    coordinates relative to the oriented query segment.
+    """
+    frags = []
+    qcur = 0
+    t = t_begin
+    qn = query.size
+    while t < t_end and qcur < qn:
+        t_next = min(((t // window_len) + 1) * window_len, t_end)
+        piece = t_next - t
+        slack = max(64, int(0.35 * piece))
+        q_take = min(piece + slack, qn - qcur)
+        tgt = target[t:t_next][None, :].astype(np.uint8)
+        qry = query[qcur : qcur + q_take][None, :].astype(np.uint8)
+        _, q_end = batched_piece_align(
+            tgt,
+            np.array([piece]),
+            qry,
+            np.array([q_take]),
+        )
+        qe = qcur + int(q_end[0])
+        frags.append((t // window_len, t % window_len, qcur, qe))
+        qcur = qe
+        t = t_next
+    return frags

@@ -64,9 +64,14 @@ def chain_matches(
     qpos: np.ndarray,
     tpos: np.ndarray,
     k: int,
+    anchors_out: list | None = None,
 ) -> np.ndarray:
     """Chain raw matches into overlaps. Arrays are parallel; returns a
-    structured overlap array (types.OVERLAP_DTYPE)."""
+    structured overlap array (types.OVERLAP_DTYPE).
+
+    When `anchors_out` is a list, it receives one (qpos, tpos) int64 array
+    pair per emitted overlap (the chain's anchors, query-sorted) — consumed
+    by the polisher's window breakpoint interpolation."""
     if tid.size == 0:
         return np.zeros(0, dtype=OVERLAP_DTYPE)
 
@@ -121,6 +126,8 @@ def chain_matches(
             t_hi = int(piece_t.max()) + k
             if lhs_end - lhs_begin < MIN_SPAN or t_hi - t_lo < MIN_SPAN:
                 continue
+            if anchors_out is not None:
+                anchors_out.append((piece_q.copy(), piece_t.copy()))
             out.append(
                 (
                     lhs_id,

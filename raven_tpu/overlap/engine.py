@@ -88,6 +88,7 @@ class MinimizerIndex:
         minhash: bool = False,
         filtered_out: list | None = None,
         query_sketch=None,
+        anchors_out: list | None = None,
     ) -> np.ndarray:
         """Map read `i` against the index; returns structured overlaps.
 
@@ -145,4 +146,6 @@ class MinimizerIndex:
         same = (tstrand[keep] == q_strand[keep]).astype(np.uint8)
         q_pos = q_pos[keep]
 
-        return chain_mod.chain_matches(i, tid, same, q_pos, tpos, self.k)
+        return chain_mod.chain_matches(
+            i, tid, same, q_pos, tpos, self.k, anchors_out=anchors_out
+        )

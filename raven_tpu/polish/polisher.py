@@ -1,0 +1,283 @@
+"""Racon-equivalent consensus polisher.
+
+Reference behaviour being reproduced (use site RavenLib/src/polish.cc:43-51
+plus the racon library dependency it drives):
+
+  1. map reads to target contigs with the minimizer engine (k=15, w=5,
+     freq=0.001), keeping each read's longest overlap;
+  2. drop overlaps whose span error 1 - min(span)/max(span) > 0.3;
+  3. split every overlap at 500-base target window boundaries (progressive
+     piecewise alignment, raven_tpu.ops.align_dp — batched across overlaps);
+  4. drop fragments shorter than 2% of the window or with mean quality
+     below the dataset average;
+  5. per-window POA consensus (backbone + fragments, NW 3/-5/-4) with
+     coverage trimming; windows with fewer than 2 fragments stay unpolished;
+  6. contigs are re-assembled from window consensuses and named with an
+     ` XC:f:<polished fraction>` suffix — the value after the last ':'
+     is what raven's Polish parses (polish.cc:57-59).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from raven_tpu.io.readset import reverse_complement
+from raven_tpu.overlap.engine import MinimizerIndex
+from raven_tpu.overlap.types import overlap_length
+from raven_tpu.ops.align_dp import batched_infix_align
+from raven_tpu.ops.poa import poa_consensus
+
+MAP_K = 15  # read->contig mapping k-mer length (racon's ram default)
+WINDOW_LEN = 500  # polish.cc:44 (racon window_length)
+ERROR_THRESHOLD = 0.3  # polish.cc:44
+MIN_FRAGMENT = int(WINDOW_LEN * 0.02)
+POA_BATCH_TARGET = 256  # device batch size for the JAX POA path
+
+
+class _SeqView:
+    def __init__(self, codes_list):
+        self.codes_list = codes_list
+        self.lengths = np.array([c.size for c in codes_list], dtype=np.int64)
+
+    def __len__(self):
+        return len(self.codes_list)
+
+    def sequence(self, i, begin=0, length=None):
+        c = self.codes_list[i]
+        if length is None:
+            length = c.size - begin
+        return c[begin : begin + length]
+
+
+class Polisher:
+    def __init__(
+        self,
+        quality_threshold: float = 0.0,
+        error_threshold: float = ERROR_THRESHOLD,
+        window_len: int = WINDOW_LEN,
+        trim: bool = True,
+        match: int = 3,
+        mismatch: int = -5,
+        gap: int = -4,
+        use_device: bool | None = None,
+    ):
+        self.quality_threshold = quality_threshold
+        self.error_threshold = error_threshold
+        self.window_len = window_len
+        self.trim = trim
+        self.match = match
+        self.mismatch = mismatch
+        self.gap = gap
+        self.use_device = use_device
+
+    # ------------------------------------------------------------------
+    def _find_overlaps(self, targets, readset):
+        """Longest passing overlap per read with its chain anchors (racon
+        keeps each read's best overlap)."""
+        view = _SeqView([codes for _, codes in targets])
+        index = MinimizerIndex(15, 5)
+        index.minimize(view, np.arange(len(targets)))
+        index.filter(0.001)
+
+        chosen = []
+        for i in range(len(readset)):
+            anchors: list = []
+            ovl = index.map(
+                readset,
+                i,
+                avoid_equal=False,
+                avoid_symmetric=False,
+                anchors_out=anchors,
+            )
+            if ovl.size == 0:
+                continue
+            bi = int(np.argmax(overlap_length(ovl)))
+            best = ovl[bi]
+            lspan = int(best["lhs_end"]) - int(best["lhs_begin"])
+            rspan = int(best["rhs_end"]) - int(best["rhs_begin"])
+            err = 1.0 - min(lspan, rspan) / max(lspan, rspan)
+            if err > self.error_threshold:
+                continue
+            chosen.append((best, anchors[bi]))
+        return chosen
+
+    # ------------------------------------------------------------------
+    def _fragments(self, overlaps, targets, readset):
+        """Window fragments per target via anchor-guided infix alignment.
+
+        For every (overlap, target-window) pair, the chain's minimizer
+        anchors interpolate the expected query interval; a batched infix DP
+        (target piece consumed fully, query start/end free within a slack
+        corridor) places it exactly.  Every piece of every overlap aligns
+        independently — one rectangular batch, no sequential chain — which
+        is what makes the device path a single dispatch.
+
+        Returns {target_id: {window_id: [(win_rel_begin, codes, quals)]}}.
+        """
+        w = self.window_len
+        jobs = []  # (state_idx, win_id, rel_begin, t0, t1, q_lo, q_hi)
+        states = []
+        for o, (aq, at) in overlaps:
+            rid = int(o["lhs_id"])
+            tid = int(o["rhs_id"])
+            qb, qe = int(o["lhs_begin"]), int(o["lhs_end"])
+            tb, te = int(o["rhs_begin"]), int(o["rhs_end"])
+            strand = int(o["strand"])
+            q = readset.sequence(rid, qb, qe - qb)
+            qq = readset.quality(rid, qb, qe - qb)
+            if not strand:
+                q = reverse_complement(q)
+                qq = qq[::-1] if qq.size else qq
+            # anchors in (target_pos, oriented_query_pos), ascending in t
+            if strand:
+                ta = at.astype(np.int64)
+                qa = (aq - qb).astype(np.int64)
+            else:
+                ta = at[::-1].astype(np.int64)
+                qa = (qe - (aq[::-1] + MAP_K)).astype(np.int64)
+            # extend with overlap endpoints for extrapolation
+            ta = np.concatenate([[tb], ta, [te]])
+            qa = np.concatenate([[0], qa, [q.size]])
+            # enforce monotonicity (guard against stray anchors)
+            keep = np.ones(ta.size, dtype=bool)
+            running = -1
+            for idx in range(ta.size):
+                if ta[idx] <= running:
+                    keep[idx] = False
+                else:
+                    running = ta[idx]
+            ta, qa = ta[keep], np.maximum.accumulate(qa[keep])
+
+            si = len(states)
+            states.append({"tid": tid, "q": q, "qq": qq})
+            t0 = tb
+            while t0 < te:
+                t1 = min(((t0 // w) + 1) * w, te)
+                piece = t1 - t0
+                q_lo = int(np.interp(t0, ta, qa))
+                q_hi = int(np.interp(t1, ta, qa))
+                slack = 100 + int(0.1 * piece)
+                q_lo = max(0, q_lo - slack)
+                q_hi = min(q.size, q_hi + slack)
+                if q_hi - q_lo >= 1 and piece >= 1:
+                    jobs.append((si, t0 // w, t0 % w, t0, t1, q_lo, q_hi))
+                t0 = t1
+
+        out: dict[int, dict[int, list]] = {}
+        if not jobs:
+            return out
+
+        # one rectangular batch over all pieces (chunked to bound memory)
+        CHUNK = 4096
+        for c0 in range(0, len(jobs), CHUNK):
+            chunk = jobs[c0 : c0 + CHUNK]
+            T = max(j[4] - j[3] for j in chunk)
+            Q = max(j[6] - j[5] for j in chunk)
+            B = len(chunk)
+            tgt_arr = np.zeros((B, T), dtype=np.uint8)
+            qry_arr = np.zeros((B, Q), dtype=np.uint8)
+            t_lens = np.zeros(B, dtype=np.int64)
+            q_lens = np.zeros(B, dtype=np.int64)
+            for bi, (si, win_id, rel, t0, t1, q_lo, q_hi) in enumerate(chunk):
+                tgt = targets[states[si]["tid"]][1][t0:t1]
+                qry = states[si]["q"][q_lo:q_hi]
+                tgt_arr[bi, : tgt.size] = tgt
+                qry_arr[bi, : qry.size] = qry
+                t_lens[bi] = tgt.size
+                q_lens[bi] = qry.size
+            _, q_starts, q_ends = batched_infix_align(
+                tgt_arr, t_lens, qry_arr, q_lens
+            )
+            for bi, (si, win_id, rel, t0, t1, q_lo, q_hi) in enumerate(chunk):
+                s = states[si]
+                fb = q_lo + int(q_starts[bi])
+                fe = q_lo + int(q_ends[bi])
+                if fe - fb < MIN_FRAGMENT:
+                    continue
+                quals = s["qq"][fb:fe] if s["qq"].size else None
+                if (
+                    quals is not None
+                    and self.quality_threshold > 0
+                    and quals.mean() < self.quality_threshold
+                ):
+                    continue
+                out.setdefault(s["tid"], {}).setdefault(win_id, []).append(
+                    (rel, s["q"][fb:fe], quals)
+                )
+        return out
+
+    # ------------------------------------------------------------------
+    def polish(self, targets, readset, include_unpolished: bool = False):
+        """targets: list of (name, codes).  Returns list of (name', codes')
+        where name' carries the ` XC:f:<fraction>` suffix; unpolished
+        targets are included only when include_unpolished (the raven call
+        site passes False, polish.cc:51)."""
+        t0 = time.perf_counter()
+        overlaps = self._find_overlaps(targets, readset)
+        frag_map = self._fragments(overlaps, targets, readset)
+        print(
+            f"[raven_tpu::Polisher] aligned {len(overlaps)} reads "
+            f"{time.perf_counter() - t0:.6f}s",
+            file=sys.stderr,
+        )
+
+        t0 = time.perf_counter()
+        results = []
+        w = self.window_len
+        for tid, (name, codes) in enumerate(targets):
+            windows = frag_map.get(tid, {})
+            num_windows = (codes.size + w - 1) // w
+            polished_count = 0
+            pieces = []
+            jobs = []
+            for win_id in range(num_windows):
+                backbone = codes[win_id * w : min((win_id + 1) * w, codes.size)]
+                frags = sorted(
+                    windows.get(win_id, []), key=lambda f: f[0]
+                )
+                if len(frags) < 2:  # racon: < 3 sequences incl. backbone
+                    pieces.append(backbone)
+                    jobs.append(None)
+                    continue
+                polished_count += 1
+                frag_codes = [f[1] for f in frags]
+                if all(f[2] is not None for f in frags):
+                    weights = [
+                        np.minimum(f[2].astype(np.int64) + 1, 255).astype(
+                            np.uint8
+                        )
+                        for f in frags
+                    ]
+                else:
+                    weights = None
+                pieces.append(None)
+                jobs.append((len(pieces) - 1, backbone, frag_codes, weights))
+
+            for job in jobs:
+                if job is None:
+                    continue
+                slot, backbone, frag_codes, weights = job
+                pieces[slot] = poa_consensus(
+                    backbone,
+                    frag_codes,
+                    weights,
+                    self.match,
+                    self.mismatch,
+                    self.gap,
+                    self.trim,
+                )
+
+            fraction = polished_count / max(num_windows, 1)
+            if fraction == 0 and not include_unpolished:
+                continue
+            polished = np.concatenate(pieces) if pieces else codes
+            results.append((f"{name} XC:f:{fraction:.6f}", polished))
+        print(
+            f"[raven_tpu::Polisher] generated consensus "
+            f"{time.perf_counter() - t0:.6f}s",
+            file=sys.stderr,
+        )
+        return results
