@@ -95,6 +95,8 @@ def device_rate(readset, occurrence) -> tuple[float, int]:
     from raven_tpu.ops.overlap_step import join_count_kernel
     from raven_tpu.ops.sketch import segment_reads, sketch_segments_kernel
 
+    import functools
+
     backend = jax.default_backend()
     log(f"jax backend: {backend}, devices: {jax.devices()}")
 
@@ -102,31 +104,64 @@ def device_rate(readset, occurrence) -> tuple[float, int]:
     codes, eff, rids, base, clo, chi = segment_reads(
         readset, np.arange(len(readset)), K, W, width=2048
     )
-    log(f"{codes.shape[0]} segments of {codes.shape[1]}")
-    args = tuple(
-        jnp.asarray(a)
-        for a in (codes, eff, rids, base, clo, chi)
-    )
+    S, width = codes.shape
+    log(f"{S} segments of {width}")
 
-    import functools
+    # chunked sketch + per-chunk compaction bounds peak HBM: each chunk's
+    # [chunk, width] intermediates live only within its call, and only the
+    # compacted (hash, id) pairs survive to the global join
+    CHUNK = 32768
+    CAP_FRACTION = 0.45  # minimizer density is ~2/(w+1) = 1/3; headroom
+    n_chunks = (S + CHUNK - 1) // CHUNK
+    pad_S = n_chunks * CHUNK
+    if pad_S != S:  # pad with empty segments (eff_len 0 -> no minimizers)
+        codes = np.vstack([codes, np.zeros((pad_S - S, width), np.uint8)])
+        eff = np.concatenate([eff, np.zeros(pad_S - S, np.int32)])
+        rids = np.concatenate([rids, np.zeros(pad_S - S, np.int32)])
+        base = np.concatenate([base, np.zeros(pad_S - S, np.int32)])
+        clo = np.concatenate([clo, np.zeros(pad_S - S, np.int32)])
+        chi = np.concatenate([chi, np.zeros(pad_S - S, np.int32)])
+    cap = int(CHUNK * width * CAP_FRACTION) // 256 * 256
 
-    @functools.partial(jax.jit, static_argnames=("k", "w"))
-    def fused(codes, eff, rids, base, clo, chi, occ, k, w):
+    @functools.partial(jax.jit, static_argnames=("k", "w", "capacity"))
+    def sketch_chunk(codes, eff, rids, base, clo, chi, k, w, capacity):
         key, ids, pos, sb = sketch_segments_kernel(
             codes, eff, rids, base, clo, chi, k, w
         )
-        return join_count_kernel(key, ids, occ)
+        key_s, ids_s = jax.lax.sort((key, ids), num_keys=1)
+        return key_s[:capacity], ids_s[:capacity]
+
+    chunks = []
+    for c in range(n_chunks):
+        sl = slice(c * CHUNK, (c + 1) * CHUNK)
+        chunks.append(
+            tuple(
+                jnp.asarray(a[sl])
+                for a in (codes, eff, rids, base, clo, chi)
+            )
+        )
+
+    def run_once():
+        keys = []
+        idsl = []
+        for ch in chunks:
+            kk, ii = sketch_chunk(*ch, K, W, cap)
+            keys.append(kk)
+            idsl.append(ii)
+        return join_count_kernel(
+            jnp.concatenate(keys), jnp.concatenate(idsl), occurrence
+        )
 
     t0 = time.perf_counter()
-    pairs = int(fused(*args, occurrence, K, W))  # warmup / compile
+    pairs = int(run_once())  # warmup / compile
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
     n_iter = 5
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = fused(*args, occurrence, K, W)
+        out = run_once()
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / n_iter
-    log(f"device per-run: {dt:.3f}s")
+    log(f"device per-run: {dt:.3f}s over {n_chunks} chunks")
     return pairs / dt, pairs
 
 

@@ -134,16 +134,38 @@ if HAS_JAX:
 
     @jax.jit
     def join_count_kernel(keys, ids, occurrence):
-        """Sort concatenated minimizer keys and count candidate pairs
-        (the second half of candidate_count_kernel, for length-bucketed
-        sketching pipelines)."""
-        key_s, ids_s = jax.lax.sort((keys, ids), num_keys=1)
-        lo = jnp.searchsorted(key_s, key_s, side="left")
-        hi = jnp.searchsorted(key_s, key_s, side="right")
-        counts = hi - lo
-        q_valid = (key_s != UINT32_INF) & (counts <= occurrence)
-        per_entry = jnp.where(q_valid, counts - 1, 0)
-        return per_entry.sum() // 2
+        """Sort concatenated minimizer keys and count candidate pairs.
+
+        Gather-free formulation (binary-searching a 10^8-element array per
+        entry overwhelms the TPU's gather path): after the sort, equal keys
+        form runs; each entry's in-run rank (= pairs with earlier entries)
+        comes from a forward cummax over boundary positions, run lengths
+        from an additional backward scan, all VPU-friendly scans.
+        """
+        del ids  # pair counting needs keys only
+        (key_s,) = jax.lax.sort((keys,), num_keys=1)
+        n = key_s.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        new = jnp.concatenate(
+            [jnp.ones(1, bool), key_s[1:] != key_s[:-1]]
+        )
+        start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(new, idx, jnp.int32(-1))
+        )
+        nxt = jax.lax.associative_scan(
+            jnp.minimum,
+            jnp.concatenate(
+                [
+                    jnp.where(new[1:], idx[1:], jnp.int32(n)),
+                    jnp.full(1, n, jnp.int32),
+                ]
+            ),
+            reverse=True,
+        )
+        run_len = nxt - start
+        rank = idx - start
+        valid = (key_s != UINT32_INF) & (run_len <= occurrence)
+        return jnp.where(valid, rank, 0).sum()  # < 2^31 pairs per call
 
 
 def estimate_occurrence(counts: np.ndarray, freq: float) -> int:

@@ -32,6 +32,81 @@ MIN_MATCHES = 4
 MAX_GAP = 10000
 MIN_SPAN = 100
 
+_CHAIN_FN = None
+_CHAIN_TRIED = False
+
+
+def _native_chain():
+    global _CHAIN_FN, _CHAIN_TRIED
+    if _CHAIN_FN is not None or _CHAIN_TRIED:
+        return _CHAIN_FN
+    _CHAIN_TRIED = True
+    import ctypes
+
+    from raven_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    fn = lib.raven_chain
+    fn.restype = ctypes.c_longlong
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_longlong)
+    fn.argtypes = [
+        u32p, u8p, i64p, i64p, ctypes.c_longlong, ctypes.c_int,
+        ctypes.c_uint32,
+        u32p, u32p, u32p, u32p, u32p, u32p, u8p, ctypes.c_longlong,
+    ]
+    _CHAIN_FN = fn
+    return fn
+
+
+def _chain_native(lhs_id, tid, same, qpos, tpos, k):
+    """C++ chaining core; returns structured overlaps or None."""
+    import ctypes
+
+    fn = _native_chain()
+    if fn is None:
+        return None
+    n = tid.size
+    cap = max(64, n // MIN_MATCHES + 8)
+    tid_c = np.ascontiguousarray(tid, dtype=np.uint32)
+    same_c = np.ascontiguousarray(same, dtype=np.uint8)
+    q_c = np.ascontiguousarray(qpos, dtype=np.int64)
+    t_c = np.ascontiguousarray(tpos, dtype=np.int64)
+    out = {
+        name: np.zeros(cap, dtype=np.uint32)
+        for name in ("lhs_begin", "lhs_end", "rhs_id", "rhs_begin", "rhs_end", "score")
+    }
+    strand = np.zeros(cap, dtype=np.uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    m = fn(
+        tid_c.ctypes.data_as(u32p),
+        same_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        q_c.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        t_c.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        n,
+        k,
+        np.uint32(lhs_id),
+        out["lhs_begin"].ctypes.data_as(u32p),
+        out["lhs_end"].ctypes.data_as(u32p),
+        out["rhs_id"].ctypes.data_as(u32p),
+        out["rhs_begin"].ctypes.data_as(u32p),
+        out["rhs_end"].ctypes.data_as(u32p),
+        out["score"].ctypes.data_as(u32p),
+        strand.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+    )
+    if m < 0:
+        return None  # capacity overflow; caller falls back
+    res = np.zeros(m, dtype=OVERLAP_DTYPE)
+    res["lhs_id"] = lhs_id
+    for name in ("lhs_begin", "lhs_end", "rhs_id", "rhs_begin", "rhs_end", "score"):
+        res[name] = out[name][:m]
+    res["strand"] = strand[:m]
+    return res
+
 
 def _lis_indices(values: np.ndarray, increasing: bool) -> np.ndarray:
     """Indices of one longest strictly monotonic subsequence (patience)."""
@@ -77,6 +152,12 @@ def chain_matches(
 
     qpos = qpos.astype(np.int64)
     tpos = tpos.astype(np.int64)
+
+    if anchors_out is None and tid.size >= 32:
+        native = _chain_native(lhs_id, tid, same, qpos, tpos, k)
+        if native is not None:
+            return native
+
     diag = np.where(same.astype(bool), tpos - qpos, tpos + qpos)
 
     # sort by (tid, same, diagonal)

@@ -103,12 +103,29 @@ if HAS_JAX:
             # sort the received range locally -> this device's index shard
             key_r, ids_r = jax.lax.sort((recv_key, recv_ids), num_keys=1)
 
-            lo = jnp.searchsorted(key_r, key_r, side="left")
-            hi = jnp.searchsorted(key_r, key_r, side="right")
-            counts = hi - lo
-            q_valid = (key_r != UINT32_INF) & (counts <= occurrence)
-            per_entry = jnp.where(q_valid, counts - 1, 0)
-            local_pairs = per_entry.sum() // 2
+            # gather-free run-length pair counting (see ops.overlap_step)
+            m = key_r.shape[0]
+            midx = jnp.arange(m, dtype=jnp.int32)
+            new = jnp.concatenate(
+                [jnp.ones(1, bool), key_r[1:] != key_r[:-1]]
+            )
+            start_run = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(new, midx, jnp.int32(-1))
+            )
+            nxt = jax.lax.associative_scan(
+                jnp.minimum,
+                jnp.concatenate(
+                    [
+                        jnp.where(new[1:], midx[1:], jnp.int32(m)),
+                        jnp.full(1, m, jnp.int32),
+                    ]
+                ),
+                reverse=True,
+            )
+            run_len = nxt - start_run
+            rank = midx - start_run
+            q_valid = (key_r != UINT32_INF) & (run_len <= occurrence)
+            local_pairs = jnp.where(q_valid, rank, 0).sum()
             return jax.lax.psum(local_pairs, axis)
 
         from jax.experimental.shard_map import shard_map
