@@ -22,6 +22,13 @@ import time
 import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/raven_tpu_jax_cache")
+try:  # jax may be preloaded: env vars are too late, use config directly
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/raven_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 K, W = 15, 5
 FREQ = 0.001
@@ -88,11 +95,11 @@ def host_rate(readset, occurrence) -> tuple[float, int]:
     return pairs / dt, pairs
 
 
-def device_rate(readset, occurrence) -> tuple[float, int]:
+def device_rate(readset, occurrence, blacklist) -> tuple[float, int]:
     import jax
     import jax.numpy as jnp
 
-    from raven_tpu.ops.overlap_step import join_count_kernel
+    from raven_tpu.ops.overlap_step import join_count_filtered_kernel
     from raven_tpu.ops.sketch import segment_reads, sketch_segments_kernel
 
     import functools
@@ -141,21 +148,21 @@ def device_rate(readset, occurrence) -> tuple[float, int]:
             )
         )
 
+    bl = jnp.asarray(blacklist)
+
     def run_once():
         keys = []
-        idsl = []
         for ch in chunks:
             kk, ii = sketch_chunk(*ch, K, W, cap)
             keys.append(kk)
-            idsl.append(ii)
-        return join_count_kernel(
-            jnp.concatenate(keys), jnp.concatenate(idsl), occurrence
+        return join_count_filtered_kernel(
+            jnp.concatenate(keys), bl, occurrence
         )
 
     t0 = time.perf_counter()
     pairs = int(run_once())  # warmup / compile
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
-    n_iter = 5
+    n_iter = 3
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = run_once()
@@ -179,16 +186,20 @@ def main() -> int:
     readset = synth_reads(size, cov, 9000, 0.10)
 
     h, _, _, _ = minimize_reads(readset, np.arange(len(readset)), K, W)
-    _, counts = np.unique(h, return_counts=True)
+    uniq, counts = np.unique(h, return_counts=True)
     occurrence = estimate_occurrence(counts, FREQ)
     log(f"occurrence threshold: {occurrence}")
-    del h, counts
+
+    blacklist = np.sort(uniq[counts > occurrence]).astype(np.uint32)
+    if blacklist.size == 0:
+        blacklist = np.array([0xFFFFFFFF], dtype=np.uint32)
+    log(f"blacklist size: {blacklist.size}")
 
     hrate, hpairs = host_rate(readset, occurrence)
     log(f"host:   {hrate:,.0f} pairs/s ({hpairs} pairs)")
 
     try:
-        drate, dpairs = device_rate(readset, occurrence)
+        drate, dpairs = device_rate(readset, occurrence, blacklist)
         log(f"device: {drate:,.0f} pairs/s ({dpairs} pairs)")
         if dpairs != hpairs:
             log(
@@ -198,8 +209,12 @@ def main() -> int:
             lh, _, _, _ = minimize_reads(lam, np.arange(len(lam)), K, W)
             _, lcounts = np.unique(lh, return_counts=True)
             locc = estimate_occurrence(lcounts, FREQ)
+            luniq, lcounts2 = np.unique(lh, return_counts=True)
+            lbl = np.sort(luniq[lcounts2 > locc]).astype(np.uint32)
+            if lbl.size == 0:
+                lbl = np.array([0xFFFFFFFF], dtype=np.uint32)
             lhrate, lhpairs = host_rate(lam, locc)
-            ldrate, ldpairs = device_rate(lam, locc)
+            ldrate, ldpairs = device_rate(lam, locc, lbl)
             log(
                 f"lambda sanity: host {lhpairs} pairs, device {ldpairs} pairs"
             )

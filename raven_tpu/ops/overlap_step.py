@@ -132,6 +132,33 @@ if HAS_JAX:
 
 if HAS_JAX:
 
+    @functools.partial(jax.jit, static_argnames=("max_occurrence",))
+    def join_count_filtered_kernel(keys, blacklist, max_occurrence: int):
+        """Candidate-pair count with frequent minimizers pre-filtered.
+
+        `blacklist` is the (small, sorted) set of hashes whose bucket size
+        exceeds the occurrence threshold (host-computed, exactly ram's
+        Filter semantics).  After blacklisting, every surviving run has
+        length <= max_occurrence, so the pair count is an exact sum of
+        shifted equalities: sum_{d=1..max} #{i : key[i] == key[i-d]} —
+        pure elementwise compares over the sorted keys, no scans and no
+        large-array gathers (both of which choke the compiler at 10^8
+        elements).  The binary search into the blacklist touches only a
+        VMEM-resident array.
+        """
+        (key_s,) = jax.lax.sort((keys,), num_keys=1)
+        bl_lo = jnp.searchsorted(blacklist, key_s, side="left")
+        bl_lo = jnp.clip(bl_lo, 0, blacklist.shape[0] - 1)
+        blacklisted = blacklist[bl_lo] == key_s
+        key_s = jnp.where(
+            blacklisted | (key_s == UINT32_INF), UINT32_INF, key_s
+        )
+        total = jnp.int32(0)
+        for d in range(1, max_occurrence + 1):
+            eq = (key_s[d:] == key_s[:-d]) & (key_s[d:] != UINT32_INF)
+            total = total + eq.sum(dtype=jnp.int32)
+        return total
+
     @jax.jit
     def join_count_kernel(keys, ids, occurrence):
         """Sort concatenated minimizer keys and count candidate pairs.
@@ -149,11 +176,8 @@ if HAS_JAX:
         new = jnp.concatenate(
             [jnp.ones(1, bool), key_s[1:] != key_s[:-1]]
         )
-        start = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(new, idx, jnp.int32(-1))
-        )
-        nxt = jax.lax.associative_scan(
-            jnp.minimum,
+        start = jax.lax.cummax(jnp.where(new, idx, jnp.int32(-1)))
+        nxt = jax.lax.cummin(
             jnp.concatenate(
                 [
                     jnp.where(new[1:], idx[1:], jnp.int32(n)),

@@ -83,3 +83,23 @@ def test_lambda_reads_load(lambda_reads, lambda_truth):
     assert len(lambda_truth) == 1
     # lambda phage genome is 48502 bp
     assert int(lambda_truth.lengths[0]) == 48502
+
+
+def test_native_parser_matches_python(tmp_path):
+    from raven_tpu.native import fastx_native
+
+    if fastx_native._load() in (False, None):
+        pytest.skip("native parser unavailable")
+    p = tmp_path / "mix.fastq"
+    p.write_text("@r1 desc\nACGTNRY\n+\nIIIIIII\n@r2\nGGCC\n+\n!!!!\n")
+    native = fastx_native.parse(str(p), True)
+    # force python path
+    orig = fastx_native.parse
+    fastx_native.parse = lambda *a: None
+    try:
+        python = parse_file(str(p))
+    finally:
+        fastx_native.parse = orig
+    assert native.names == python.names
+    assert np.array_equal(native.codes, python.codes)
+    assert np.array_equal(native.quals, python.quals)
