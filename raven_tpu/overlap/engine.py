@@ -39,10 +39,77 @@ class MinimizerIndex:
         self._occurrence = np.iinfo(np.int64).max  # filter threshold
 
     # ------------------------------------------------------------------ build
+    DEVICE_MIN_BASES = 8_000_000  # use the accelerator for big batches
+
+    def _device_sketch(self, readset, ids):
+        """Accelerator sketching via fixed-width segments; returns the same
+        (hash, id, pos, strand) arrays as the host path (bit-identical,
+        tests/test_segment_sketch.py) or None when no accelerator."""
+        try:
+            import jax
+
+            if jax.default_backend() == "cpu":
+                return None
+            import jax.numpy as jnp
+
+            from raven_tpu.ops.sketch import (
+                UINT32_INF,
+                segment_reads,
+                sketch_segments_kernel,
+            )
+        except Exception:
+            return None
+        if 2 * self.k > 30:
+            return None  # 32-bit device hash domain
+        width = 2048
+        codes, eff, rids, base, clo, chi = segment_reads(
+            readset, ids, self.k, self.w, width=width
+        )
+        S = codes.shape[0]
+        CHUNK = 32768
+        hs, is_, ps, ss = [], [], [], []
+        for c0 in range(0, S, CHUNK):
+            sl = slice(c0, min(c0 + CHUNK, S))
+            pad = CHUNK - (sl.stop - sl.start)
+            argz = []
+            for a in (codes, eff, rids, base, clo, chi):
+                chunk = a[sl]
+                if pad:
+                    shape = (pad,) + chunk.shape[1:]
+                    chunk = np.concatenate(
+                        [chunk, np.zeros(shape, dtype=chunk.dtype)]
+                    )
+                argz.append(jnp.asarray(chunk))
+            key, rid, pos, sb = sketch_segments_kernel(
+                *argz, self.k, self.w
+            )
+            key = np.asarray(key)
+            valid = key != UINT32_INF
+            hs.append(key[valid].astype(np.uint64))
+            is_.append(np.asarray(rid)[valid].astype(np.uint32))
+            ps.append(np.asarray(pos)[valid].astype(np.uint32))
+            ss.append(np.asarray(sb)[valid].astype(np.uint8))
+        return (
+            np.concatenate(hs) if hs else np.empty(0, np.uint64),
+            np.concatenate(is_) if is_ else np.empty(0, np.uint32),
+            np.concatenate(ps) if ps else np.empty(0, np.uint32),
+            np.concatenate(ss) if ss else np.empty(0, np.uint8),
+        )
+
     def minimize(self, readset, ids, minhash: bool = False) -> None:
         """(Re)build the index from the sketches of `ids` (ram Minimize)."""
         ids = np.asarray(ids, dtype=np.int64)
-        h, i, p, s = minimize_reads(readset, ids, self.k, self.w, minhash)
+        result = None
+        if (
+            not minhash
+            and ids.size
+            and int(readset.lengths[ids].sum()) >= self.DEVICE_MIN_BASES
+        ):
+            result = self._device_sketch(readset, ids)
+        if result is not None:
+            h, i, p, s = result
+        else:
+            h, i, p, s = minimize_reads(readset, ids, self.k, self.w, minhash)
         order = np.argsort(h, kind="stable")
         self._hashes = h[order]
         self._ids = i[order]

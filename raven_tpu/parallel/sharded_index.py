@@ -57,7 +57,9 @@ if HAS_JAX:
         """
         n = mesh.devices.size
         axis = mesh.axis_names[0]
-        slot = capacity // n  # per-destination slot
+        # per-destination slot with 2x headroom over the balanced share —
+        # hash ranges are near-uniform but not exactly balanced
+        slot = min(capacity, (2 * capacity) // n)
         bits = 2 * k
 
         def step(codes, lengths, read_ids):

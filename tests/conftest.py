@@ -53,9 +53,15 @@ requires_lambda = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(21)
+@pytest.fixture(scope="module")
+def rng(request):
+    # deterministic per-module stream: test outcomes don't depend on which
+    # other modules ran first (zlib.crc32 is stable across processes,
+    # unlike built-in hash)
+    import zlib
+
+    seed = zlib.crc32(request.module.__name__.encode())
+    return np.random.default_rng(seed)
 
 
 @pytest.fixture(scope="session")
