@@ -21,11 +21,11 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/raven_tpu_jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/raven_tpu_jax")
 try:  # jax may be preloaded: env vars are too late, use config directly
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/raven_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/raven_tpu_jax")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
@@ -148,15 +148,28 @@ def device_rate(readset, occurrence, blacklist) -> tuple[float, int]:
             )
         )
 
-    bl = jnp.asarray(blacklist)
+    # fixed blacklist shape + unroll depth: one compilation for all inputs
+    MAXD = 32
+    BL_CAP = 1 << 17
+    assert occurrence <= MAXD, "occurrence exceeds static unroll cap"
+    assert blacklist.size <= BL_CAP, "blacklist exceeds static capacity"
+    bl_fixed = np.full(BL_CAP, 0xFFFFFFFF, np.uint32)
+    bl_fixed[: blacklist.size] = blacklist
+    bl = jnp.asarray(bl_fixed)
+
+    # fixed join capacity: one compilation serves every dataset size
+    JOIN_CAP = 1 << 27
+    total_keys = n_chunks * cap
+    assert total_keys <= JOIN_CAP, "dataset too large for JOIN_CAP"
+    pad_keys = jnp.full(JOIN_CAP - total_keys, 0xFFFFFFFF, jnp.uint32)
 
     def run_once():
-        keys = []
+        keys = [pad_keys]
         for ch in chunks:
             kk, ii = sketch_chunk(*ch, K, W, cap)
             keys.append(kk)
         return join_count_filtered_kernel(
-            jnp.concatenate(keys), bl, occurrence
+            jnp.concatenate(keys), bl, MAXD
         )
 
     t0 = time.perf_counter()

@@ -153,9 +153,18 @@ if HAS_JAX:
         key_s = jnp.where(
             blacklisted | (key_s == UINT32_INF), UINT32_INF, key_s
         )
+        # shape-uniform shifted compares: front-pad with the sentinel so
+        # every distance uses the same slice length (compile stays linear)
+        n = key_s.shape[0]
+        maxd = max_occurrence
+        key_p = jnp.concatenate(
+            [jnp.full(maxd, UINT32_INF, jnp.uint32), key_s]
+        )
+        head = key_p[maxd:]
+        alive = head != UINT32_INF
         total = jnp.int32(0)
-        for d in range(1, max_occurrence + 1):
-            eq = (key_s[d:] == key_s[:-d]) & (key_s[d:] != UINT32_INF)
+        for d in range(1, maxd + 1):
+            eq = (head == key_p[maxd - d : maxd - d + n]) & alive
             total = total + eq.sum(dtype=jnp.int32)
         return total
 

@@ -219,9 +219,25 @@ class Polisher:
                 q_lens[bi] = qry.size
             q_starts, q_ends = self._infix_align(tgt_arr, t_lens, qry_arr, q_lens)
             for bi, (si, win_id, rel, t0, t1, q_lo, q_hi) in enumerate(chunk):
-                s = states[si]
                 fb = q_lo + int(q_starts[bi])
                 fe = q_lo + int(q_ends[bi])
+                states[si].setdefault("placed", []).append(
+                    (win_id, rel, fb, fe)
+                )
+
+        # stitch adjacent windows of each read to the midpoint: free-ended
+        # placements clip noisy fragment edges, which would starve support
+        # at window boundaries; contiguous tiling keeps every query base
+        for s in states:
+            placed = s.get("placed", [])
+            for a in range(len(placed) - 1):
+                w0, r0, b0, e0 = placed[a]
+                w1, r1, b1, e1 = placed[a + 1]
+                mid = (e0 + b1) // 2
+                mid = max(min(mid, e1), b0)
+                placed[a] = (w0, r0, b0, mid)
+                placed[a + 1] = (w1, r1, mid, e1)
+            for win_id, rel, fb, fe in placed:
                 if fe - fb < MIN_FRAGMENT:
                     continue
                 quals = s["qq"][fb:fe] if s["qq"].size else None

@@ -25,7 +25,7 @@ try:
     # before any backend is initialized).
     jax.config.update("jax_platforms", "cpu")
     # persistent XLA compile cache: kernels compile once across test runs
-    jax.config.update("jax_compilation_cache_dir", "/tmp/raven_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/raven_tpu_jax")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 except Exception:
