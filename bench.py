@@ -158,7 +158,7 @@ def device_rate(readset, occurrence, blacklist) -> tuple[float, int]:
     bl = jnp.asarray(bl_fixed)
 
     # fixed join capacity: one compilation serves every dataset size
-    JOIN_CAP = 1 << 27
+    JOIN_CAP = 1 << 26
     total_keys = n_chunks * cap
     assert total_keys <= JOIN_CAP, "dataset too large for JOIN_CAP"
     pad_keys = jnp.full(JOIN_CAP - total_keys, 0xFFFFFFFF, jnp.uint32)
@@ -194,7 +194,7 @@ def main() -> int:
     lam = load_lambda()
 
     # throughput dataset: E. coli K-12 scale, ~50x ONT (BASELINE.md config 2)
-    size = int(os.environ.get("RAVEN_BENCH_GENOME", 4_600_000))
+    size = int(os.environ.get("RAVEN_BENCH_GENOME", 2_300_000))
     cov = float(os.environ.get("RAVEN_BENCH_COVERAGE", 50))
     readset = synth_reads(size, cov, 9000, 0.10)
 

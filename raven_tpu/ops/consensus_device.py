@@ -1,0 +1,332 @@
+"""Batched window-consensus kernels (device path of the polisher).
+
+TPU-native replacement for the reference's CUDA POA batches (racon
+dependency; knobs at RavenLib/src/polish.cc:47-48): every window fragment
+aligns to its window's working consensus in one rectangular NW batch
+(scores 3/-5/-4, same as the POA engine); tracebacks run as a fixed-length
+device scan; the per-column votes (match/substitution/deletion + insertion
+runs) aggregate on the host and rebuild the consensus.  Two refinement
+iterations converge to the same quality band as the sequential POA on the
+~30x coverage these windows see (cross-checked in tests against the C++
+POA engine).
+
+Shapes are static: consensus rows padded to T_PAD, fragments to Q_PAD,
+fragments processed in fixed-size chunks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+try:
+    import jax
+    import jax.numpy as jnp
+
+    HAS_JAX = True
+except Exception:  # pragma: no cover
+    HAS_JAX = False
+
+NEG = -(1 << 20)
+
+
+if HAS_JAX:
+
+    @functools.partial(jax.jit, static_argnames=("T", "Q"))
+    def nw_moves_kernel(cons, t_lens, frags, q_lens, T: int, Q: int):
+        """Global NW of each fragment to its consensus row.
+
+        cons: [B, T] int32 (pad < 0), frags: [B, Q] int32 (pad < 0).
+        Returns (moves [T+1, B, Q+1] int8, score [B]).
+        moves: 0 = diag, 1 = up (deletion in fragment), 2 = left (insertion).
+        """
+        B = cons.shape[0]
+        idx = jnp.arange(Q + 1, dtype=jnp.int32)
+        MATCH, MISMATCH, GAP = 3, -5, -4
+
+        row0 = jnp.where(
+            idx[None, :] <= q_lens[:, None], idx * GAP, NEG
+        ).astype(jnp.int32)
+
+        def step(carry, r):
+            prev = carry
+            tchar = jax.lax.dynamic_slice_in_dim(cons, r, 1, axis=1)  # [B,1]
+            in_t = (r < t_lens)[:, None]
+            sub = jnp.where(frags == tchar, MATCH, MISMATCH)
+            diag = prev[:, :-1] + sub
+            up = prev[:, 1:] + GAP
+            take_diag = diag >= up
+            e = jnp.where(take_diag, diag, up)
+            mv = jnp.where(take_diag, jnp.int8(0), jnp.int8(1))
+            cur = jnp.concatenate([prev[:, :1] + GAP, e], axis=1)
+            mrow = jnp.concatenate(
+                [jnp.full((B, 1), 1, jnp.int8), mv], axis=1
+            )
+            # left closure: cur[j] = max(cur[j], cur[j-1] + GAP) via the
+            # prefix-max trick (GAP < 0)
+            closed = (
+                jax.lax.cummax(cur - idx * GAP, axis=1) + idx * GAP
+            )
+            left = closed > cur
+            cur = jnp.where(left, closed, cur)
+            mrow = jnp.where(left, jnp.int8(2), mrow)
+            # rows past the consensus length pass through unchanged
+            cur = jnp.where(in_t, cur, prev)
+            mrow = jnp.where(in_t, mrow, jnp.int8(3))  # 3 = inactive
+            # mask query positions beyond q_len
+            q_ok = idx[None, :] <= q_lens[:, None]
+            cur = jnp.where(q_ok, cur, NEG)
+            return cur, mrow
+
+        final, moves = jax.lax.scan(
+            step, row0, jnp.arange(T, dtype=jnp.int32)
+        )
+        rows = jnp.arange(B)
+        score = final[rows, q_lens]
+        return moves, score
+
+    @functools.partial(jax.jit, static_argnames=("T", "Q", "STEPS"))
+    def traceback_kernel(moves, t_lens, q_lens, T: int, Q: int, STEPS: int):
+        """Walk the move tensor from (t_len, q_len) back to (0, 0).
+
+        Returns (path_t [STEPS, B], path_q [STEPS, B], path_mv [STEPS, B]):
+        emitted in reverse order; mv = 3 marks steps past the start.
+        moves: [T, B, Q+1] from nw_moves_kernel.
+        """
+        B = t_lens.shape[0]
+        rows = jnp.arange(B)
+
+        def step(carry, _):
+            t, j = carry
+            active = (t > 0) | (j > 0)
+            t_idx = jnp.clip(t - 1, 0, T - 1)
+            mv = moves[t_idx, rows, j]
+            # at the DP boundary rows/cols the move degenerates
+            mv = jnp.where(t == 0, jnp.int8(2), mv)  # only left moves remain
+            mv = jnp.where((j == 0) & (t > 0), jnp.int8(1), mv)
+            mv = jnp.where(active, mv, jnp.int8(3))
+            dt = jnp.where((mv == 0) | (mv == 1), 1, 0)
+            dj = jnp.where((mv == 0) | (mv == 2), 1, 0)
+            nt = t - dt
+            nj = j - dj
+            return (nt, nj), (t, j, mv)
+
+        (_, _), (pt, pq, pmv) = jax.lax.scan(
+            step, (t_lens.astype(jnp.int32), q_lens.astype(jnp.int32)),
+            None,
+            length=STEPS,
+        )
+        return pt, pq, pmv
+
+
+def consensus_votes(
+    path_t: np.ndarray,
+    path_q: np.ndarray,
+    path_mv: np.ndarray,
+    frags: np.ndarray,
+    weights: np.ndarray | None,
+    win_of: np.ndarray,
+    n_windows: int,
+    T: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Aggregate alignment paths into per-column votes (host, vectorized).
+
+    Returns (base_votes [n_windows, T, 5], ins_votes [n_windows, T+1, 4],
+    cover [n_windows, T]): base_votes[..., 0:4] substitution/match weights,
+    [..., 4] deletion weight; ins_votes counts the first inserted base of
+    each insertion run at the junction before consensus position t.
+    """
+    STEPS, B = path_mv.shape
+    w = (
+        weights
+        if weights is not None
+        else np.ones(frags.shape, dtype=np.uint8)
+    )
+    base_votes = np.zeros((n_windows, T, 5), dtype=np.int64)
+    ins_votes = np.zeros((n_windows, T + 1, 4), dtype=np.int64)
+    cover = np.zeros((n_windows, T), dtype=np.int64)
+
+    mv = path_mv.reshape(-1)
+    t = path_t.reshape(-1)
+    q = path_q.reshape(-1)
+    frag_idx = np.broadcast_to(np.arange(B), (STEPS, B)).reshape(-1)
+    win = win_of[frag_idx]
+
+    # diagonal: fragment base q-1 votes at consensus position t-1
+    sel = mv == 0
+    if sel.any():
+        fb = frags[frag_idx[sel], q[sel] - 1]
+        fw = w[frag_idx[sel], q[sel] - 1].astype(np.int64)
+        np.add.at(base_votes, (win[sel], t[sel] - 1, fb), fw)
+        np.add.at(cover, (win[sel], t[sel] - 1), 1)
+    # up: deletion at consensus position t-1; weight proxied by the quality
+    # of the last consumed fragment base
+    sel = mv == 1
+    if sel.any():
+        fw = w[frag_idx[sel], np.clip(q[sel] - 1, 0, None)].astype(np.int64)
+        np.add.at(base_votes, (win[sel], t[sel] - 1, 4), fw)
+        np.add.at(cover, (win[sel], t[sel] - 1), 1)
+    # left: insertion of fragment base q-1 at junction before position t;
+    # only the first base of each run votes (longer runs are rare and
+    # resolved over refinement iterations)
+    sel = mv == 2
+    if sel.any():
+        prev_mv = np.concatenate(
+            [np.full((1, B), 3, path_mv.dtype), path_mv[:-1]]
+        ).reshape(-1)
+        first = sel & (prev_mv != 2)  # reverse-order: run boundary
+        fb = frags[frag_idx[first], q[first] - 1]
+        fw = w[frag_idx[first], q[first] - 1].astype(np.int64)
+        np.add.at(ins_votes, (win[first], t[first], fb), fw)
+    return base_votes, ins_votes, cover
+
+
+def device_window_consensus(
+    windows: list[tuple[np.ndarray, list[np.ndarray], list[np.ndarray] | None]],
+    iterations: int = 2,
+    t_pad: int = 640,
+    q_pad: int = 768,
+    chunk: int = 2048,
+) -> list[np.ndarray]:
+    """Batched consensus for many windows at once.
+
+    windows: [(backbone, fragments, weights-or-None)].  Returns one
+    consensus array per window.  All windows' fragments are flattened into
+    fixed-shape NW + traceback dispatches; votes aggregate on the host.
+    """
+    if not HAS_JAX:
+        raise RuntimeError("jax unavailable")
+    n_win = len(windows)
+    cons = [np.asarray(b, np.uint8) for b, _, _ in windows]
+
+    # flatten fragments once
+    frag_rows: list[np.ndarray] = []
+    weight_rows: list[np.ndarray] = []
+    win_of: list[int] = []
+    any_weights = any(wt is not None for _, _, wt in windows)
+    for wi, (_, frags, wts) in enumerate(windows):
+        for fi, f in enumerate(frags):
+            f = np.asarray(f, np.uint8)[:q_pad]
+            frag_rows.append(f)
+            if any_weights:
+                wrow = (
+                    np.asarray(wts[fi], np.uint8)[:q_pad]
+                    if wts is not None
+                    else np.full(f.size, 1, np.uint8)
+                )
+                weight_rows.append(wrow)
+            win_of.append(wi)
+    B_total = len(frag_rows)
+    if B_total == 0:
+        return cons
+    win_of_arr = np.array(win_of, dtype=np.int64)
+    q_lens = np.array([f.size for f in frag_rows], dtype=np.int32)
+    frags_arr = np.full((B_total, q_pad), -1, dtype=np.int32)
+    for i, f in enumerate(frag_rows):
+        frags_arr[i, : f.size] = f
+    if any_weights:
+        w_arr = np.zeros((B_total, q_pad), dtype=np.uint8)
+        for i, wrow in enumerate(weight_rows):
+            w_arr[i, : wrow.size] = wrow
+    else:
+        w_arr = None
+
+    steps = t_pad + q_pad
+    for _ in range(iterations):
+        cons_arr = np.full((n_win, t_pad), -1, dtype=np.int32)
+        cons_lens = np.zeros(n_win, dtype=np.int32)
+        for wi, c in enumerate(cons):
+            cl = min(c.size, t_pad)
+            cons_arr[wi, :cl] = c[:cl]
+            cons_lens[wi] = cl
+
+        base_votes = np.zeros((n_win, t_pad, 5), dtype=np.int64)
+        ins_votes = np.zeros((n_win, t_pad + 1, 4), dtype=np.int64)
+        cover = np.zeros((n_win, t_pad), dtype=np.int64)
+
+        for c0 in range(0, B_total, chunk):
+            sl = slice(c0, min(c0 + chunk, B_total))
+            nb = sl.stop - sl.start
+            pad = chunk - nb
+            cw = cons_arr[win_of_arr[sl]]
+            cwl = cons_lens[win_of_arr[sl]]
+            fr = frags_arr[sl]
+            ql = q_lens[sl]
+            if pad:
+                cw = np.vstack([cw, np.full((pad, t_pad), -1, np.int32)])
+                cwl = np.concatenate([cwl, np.zeros(pad, np.int32)])
+                fr = np.vstack([fr, np.full((pad, q_pad), -1, np.int32)])
+                ql = np.concatenate([ql, np.zeros(pad, np.int32)])
+            moves, _ = nw_moves_kernel(
+                jnp.asarray(cw), jnp.asarray(cwl), jnp.asarray(fr),
+                jnp.asarray(ql), t_pad, q_pad,
+            )
+            pt, pq, pmv = traceback_kernel(
+                moves, jnp.asarray(cwl), jnp.asarray(ql), t_pad, q_pad, steps
+            )
+            pt = np.asarray(pt)[:, :nb]
+            pq = np.asarray(pq)[:, :nb]
+            pmv = np.asarray(pmv)[:, :nb]
+            bv, iv, cv = consensus_votes(
+                pt,
+                pq,
+                pmv,
+                frags_arr[sl],
+                w_arr[sl] if w_arr is not None else None,
+                win_of_arr[sl] - 0,
+                n_win,
+                t_pad,
+            )
+            base_votes += bv
+            ins_votes += iv
+            cover += cv
+
+        new_cons = []
+        for wi in range(n_win):
+            nfr = int((win_of_arr == wi).sum())
+            new_cons.append(
+                rebuild_consensus(
+                    cons_arr[wi],
+                    int(cons_lens[wi]),
+                    base_votes[wi],
+                    ins_votes[wi],
+                    cover[wi],
+                    nfr,
+                )
+            )
+        cons = new_cons
+    return cons
+
+
+def rebuild_consensus(
+    cons: np.ndarray,
+    cons_len: int,
+    base_votes: np.ndarray,
+    ins_votes: np.ndarray,
+    cover: np.ndarray,
+    num_fragments: int,
+) -> np.ndarray:
+    """One window's consensus update from votes (host)."""
+    out: list[int] = []
+    half = max(1, num_fragments) / 2
+    for t in range(cons_len + 1):
+        iv = ins_votes[t]
+        total_cov = cover[t - 1] if t > 0 else cover[0]
+        if iv.sum() > 0 and total_cov > 0:
+            b = int(iv.argmax())
+            # weighted insertion support must beat half the column weight
+            col_w = base_votes[t - 1].sum() if t > 0 else base_votes[0].sum()
+            if iv[b] * 2 > col_w:
+                out.append(b)
+        if t == cons_len:
+            break
+        bv = base_votes[t]
+        if bv.sum() == 0:
+            out.append(int(cons[t]))
+            continue
+        b = int(bv.argmax())
+        if b < 4:
+            out.append(b)
+        # b == 4: deletion wins -> emit nothing
+    return np.array(out, dtype=np.uint8)

@@ -268,14 +268,14 @@ class Polisher:
         )
 
         t0 = time.perf_counter()
-        results = []
         w = self.window_len
+        per_target = []  # (name, codes, pieces, jobs, polished_count)
+        all_jobs = []  # (target_idx, slot, backbone, frag_codes, weights)
         for tid, (name, codes) in enumerate(targets):
             windows = frag_map.get(tid, {})
             num_windows = (codes.size + w - 1) // w
             polished_count = 0
             pieces = []
-            jobs = []
             for win_id in range(num_windows):
                 backbone = codes[win_id * w : min((win_id + 1) * w, codes.size)]
                 frags = sorted(
@@ -283,7 +283,6 @@ class Polisher:
                 )
                 if len(frags) < 2:  # racon: < 3 sequences incl. backbone
                     pieces.append(backbone)
-                    jobs.append(None)
                     continue
                 polished_count += 1
                 frag_codes = [f[1] for f in frags]
@@ -297,22 +296,17 @@ class Polisher:
                 else:
                     weights = None
                 pieces.append(None)
-                jobs.append((len(pieces) - 1, backbone, frag_codes, weights))
-
-            for job in jobs:
-                if job is None:
-                    continue
-                slot, backbone, frag_codes, weights = job
-                pieces[slot] = poa_consensus(
-                    backbone,
-                    frag_codes,
-                    weights,
-                    self.match,
-                    self.mismatch,
-                    self.gap,
-                    self.trim,
+                all_jobs.append(
+                    (tid, len(pieces) - 1, backbone, frag_codes, weights)
                 )
+            per_target.append((name, codes, pieces, polished_count, num_windows))
 
+        consensi = self._run_consensus(all_jobs)
+        for (tid, slot, *_), cons in zip(all_jobs, consensi):
+            per_target[tid][2][slot] = cons
+
+        results = []
+        for name, codes, pieces, polished_count, num_windows in per_target:
             fraction = polished_count / max(num_windows, 1)
             if fraction == 0 and not include_unpolished:
                 continue
@@ -324,3 +318,43 @@ class Polisher:
             file=sys.stderr,
         )
         return results
+
+    # ------------------------------------------------------------------
+    def _run_consensus(self, jobs):
+        """Dispatch window consensus jobs: batched device kernel on an
+        accelerator (the reference's CUDA-POA analog), C++/python POA on
+        host."""
+        use_dev = self.use_device
+        if use_dev is None:
+            try:
+                import jax
+
+                use_dev = jax.default_backend() != "cpu"
+            except Exception:
+                use_dev = False
+        if use_dev and jobs:
+            try:
+                from raven_tpu.ops.consensus_device import (
+                    device_window_consensus,
+                )
+
+                windows = [
+                    (backbone, frag_codes, weights)
+                    for _, _, backbone, frag_codes, weights in jobs
+                ]
+                return device_window_consensus(windows, iterations=2)
+            except Exception:
+                if self.use_device:
+                    raise
+        return [
+            poa_consensus(
+                backbone,
+                frag_codes,
+                weights,
+                self.match,
+                self.mismatch,
+                self.gap,
+                self.trim,
+            )
+            for _, _, backbone, frag_codes, weights in jobs
+        ]
