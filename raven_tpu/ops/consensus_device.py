@@ -35,19 +35,24 @@ if HAS_JAX:
 
     @functools.partial(jax.jit, static_argnames=("T", "Q"))
     def nw_moves_kernel(cons, t_lens, frags, q_lens, T: int, Q: int):
-        """Global NW of each fragment to its consensus row.
+        """Fragment-global / consensus-infix alignment.
+
+        The fragment is consumed fully; the consensus start and end are
+        free, so a fragment covering only part of the window votes only on
+        the consensus span it actually aligns to (terminal consensus gaps
+        create no deletion votes — matching the POA engine's free end).
 
         cons: [B, T] int32 (pad < 0), frags: [B, Q] int32 (pad < 0).
-        Returns (moves [T+1, B, Q+1] int8, score [B]).
+        Returns (moves [T, B, Q+1] int8, end_scores [T, B], row0_score [B]).
         moves: 0 = diag, 1 = up (deletion in fragment), 2 = left (insertion).
         """
         B = cons.shape[0]
         idx = jnp.arange(Q + 1, dtype=jnp.int32)
         MATCH, MISMATCH, GAP = 3, -5, -4
 
-        row0 = jnp.where(
-            idx[None, :] <= q_lens[:, None], idx * GAP, NEG
-        ).astype(jnp.int32)
+        q_ok_all = idx[None, :] <= q_lens[:, None]
+        row0 = jnp.where(q_ok_all, idx * GAP, NEG).astype(jnp.int32)
+        rows = jnp.arange(B)
 
         def step(carry, r):
             prev = carry
@@ -59,63 +64,60 @@ if HAS_JAX:
             take_diag = diag >= up
             e = jnp.where(take_diag, diag, up)
             mv = jnp.where(take_diag, jnp.int8(0), jnp.int8(1))
-            cur = jnp.concatenate([prev[:, :1] + GAP, e], axis=1)
+            # free consensus prefix: column 0 restarts at 0
+            cur = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.int32), e], axis=1
+            )
             mrow = jnp.concatenate(
                 [jnp.full((B, 1), 1, jnp.int8), mv], axis=1
             )
-            # left closure: cur[j] = max(cur[j], cur[j-1] + GAP) via the
-            # prefix-max trick (GAP < 0)
-            closed = (
-                jax.lax.cummax(cur - idx * GAP, axis=1) + idx * GAP
-            )
+            # left closure: cur[j] = max(cur[j], cur[j-1] + GAP)
+            closed = jax.lax.cummax(cur - idx * GAP, axis=1) + idx * GAP
             left = closed > cur
             cur = jnp.where(left, closed, cur)
             mrow = jnp.where(left, jnp.int8(2), mrow)
-            # rows past the consensus length pass through unchanged
             cur = jnp.where(in_t, cur, prev)
             mrow = jnp.where(in_t, mrow, jnp.int8(3))  # 3 = inactive
-            # mask query positions beyond q_len
-            q_ok = idx[None, :] <= q_lens[:, None]
-            cur = jnp.where(q_ok, cur, NEG)
-            return cur, mrow
+            cur = jnp.where(q_ok_all, cur, NEG)
+            end_score = jnp.where(
+                in_t[:, 0], cur[rows, q_lens], jnp.int32(NEG)
+            )
+            return cur, (mrow, end_score)
 
-        final, moves = jax.lax.scan(
+        _, (moves, end_scores) = jax.lax.scan(
             step, row0, jnp.arange(T, dtype=jnp.int32)
         )
-        rows = jnp.arange(B)
-        score = final[rows, q_lens]
-        return moves, score
+        return moves, end_scores, row0[rows, q_lens]
 
     @functools.partial(jax.jit, static_argnames=("T", "Q", "STEPS"))
-    def traceback_kernel(moves, t_lens, q_lens, T: int, Q: int, STEPS: int):
-        """Walk the move tensor from (t_len, q_len) back to (0, 0).
+    def traceback_kernel(
+        moves, end_scores, row0_score, q_lens, T: int, Q: int, STEPS: int
+    ):
+        """Walk from the best (t*, q_len) back to column 0.
 
-        Returns (path_t [STEPS, B], path_q [STEPS, B], path_mv [STEPS, B]):
-        emitted in reverse order; mv = 3 marks steps past the start.
-        moves: [T, B, Q+1] from nw_moves_kernel.
+        The walk stops at j == 0 (free consensus prefix).  Returns
+        (path_t, path_q, path_mv) [STEPS, B], reverse order, mv = 3 padding.
         """
-        B = t_lens.shape[0]
+        B = q_lens.shape[0]
         rows = jnp.arange(B)
+        # best end row (end_scores[r] = D[r+1][q_len]); row0 = D[0][q_len]
+        best_r = jnp.argmax(end_scores, axis=0)
+        best = end_scores[best_r, rows]
+        t0 = jnp.where(row0_score >= best, 0, best_r + 1).astype(jnp.int32)
 
         def step(carry, _):
             t, j = carry
-            active = (t > 0) | (j > 0)
+            active = j > 0
             t_idx = jnp.clip(t - 1, 0, T - 1)
             mv = moves[t_idx, rows, j]
-            # at the DP boundary rows/cols the move degenerates
-            mv = jnp.where(t == 0, jnp.int8(2), mv)  # only left moves remain
-            mv = jnp.where((j == 0) & (t > 0), jnp.int8(1), mv)
+            mv = jnp.where(t == 0, jnp.int8(2), mv)  # top row: left only
             mv = jnp.where(active, mv, jnp.int8(3))
             dt = jnp.where((mv == 0) | (mv == 1), 1, 0)
             dj = jnp.where((mv == 0) | (mv == 2), 1, 0)
-            nt = t - dt
-            nj = j - dj
-            return (nt, nj), (t, j, mv)
+            return (t - dt, j - dj), (t, j, mv)
 
         (_, _), (pt, pq, pmv) = jax.lax.scan(
-            step, (t_lens.astype(jnp.int32), q_lens.astype(jnp.int32)),
-            None,
-            length=STEPS,
+            step, (t0, q_lens.astype(jnp.int32)), None, length=STEPS
         )
         return pt, pq, pmv
 
@@ -258,12 +260,13 @@ def device_window_consensus(
                 cwl = np.concatenate([cwl, np.zeros(pad, np.int32)])
                 fr = np.vstack([fr, np.full((pad, q_pad), -1, np.int32)])
                 ql = np.concatenate([ql, np.zeros(pad, np.int32)])
-            moves, _ = nw_moves_kernel(
+            moves, end_scores, row0_score = nw_moves_kernel(
                 jnp.asarray(cw), jnp.asarray(cwl), jnp.asarray(fr),
                 jnp.asarray(ql), t_pad, q_pad,
             )
             pt, pq, pmv = traceback_kernel(
-                moves, jnp.asarray(cwl), jnp.asarray(ql), t_pad, q_pad, steps
+                moves, end_scores, row0_score, jnp.asarray(ql),
+                t_pad, q_pad, steps,
             )
             pt = np.asarray(pt)[:, :nb]
             pq = np.asarray(pq)[:, :nb]
@@ -309,15 +312,16 @@ def rebuild_consensus(
 ) -> np.ndarray:
     """One window's consensus update from votes (host)."""
     out: list[int] = []
-    half = max(1, num_fragments) / 2
     for t in range(cons_len + 1):
         iv = ins_votes[t]
-        total_cov = cover[t - 1] if t > 0 else cover[0]
-        if iv.sum() > 0 and total_cov > 0:
+        if iv.sum() > 0:
             b = int(iv.argmax())
-            # weighted insertion support must beat half the column weight
+            # adopt an insertion once its weight clears a quarter of the
+            # adjacent column weight: alignment ambiguity splits insertion
+            # votes across neighbouring junctions, so a majority rule
+            # starves real insertions (noise support sits far below 25%)
             col_w = base_votes[t - 1].sum() if t > 0 else base_votes[0].sum()
-            if iv[b] * 2 > col_w:
+            if iv[b] * 4 > col_w:
                 out.append(b)
         if t == cons_len:
             break

@@ -342,7 +342,7 @@ class Polisher:
                     (backbone, frag_codes, weights)
                     for _, _, backbone, frag_codes, weights in jobs
                 ]
-                return device_window_consensus(windows, iterations=2)
+                return device_window_consensus(windows, iterations=3)
             except Exception:
                 if self.use_device:
                     raise

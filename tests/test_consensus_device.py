@@ -1,0 +1,94 @@
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from raven_tpu.ops.consensus_device import (
+    HAS_JAX,
+    device_window_consensus,
+    nw_moves_kernel,
+    traceback_kernel,
+)
+from raven_tpu.ops.edit_distance import edit_distance
+from raven_tpu.ops.poa import poa_consensus
+
+pytestmark = pytest.mark.skipif(not HAS_JAX, reason="jax unavailable")
+
+
+def mutate(rng, codes, sub, dele, ins):
+    out = []
+    for c in codes:
+        r = rng.random()
+        if r < dele:
+            continue
+        if r < dele + ins:
+            out.append(int(rng.integers(0, 4)))
+            out.append(int(c))
+            continue
+        if r < dele + ins + sub:
+            out.append((int(c) + int(rng.integers(1, 4))) % 4)
+        else:
+            out.append(int(c))
+    return np.array(out, dtype=np.uint8)
+
+
+def test_nw_traceback_exact_match(rng):
+    import jax.numpy as jnp
+
+    T, Q = 64, 96
+    seq = rng.integers(0, 4, 50).astype(np.int32)
+    cons = np.full((1, T), -1, np.int32)
+    cons[0, :50] = seq
+    frag = np.full((1, Q), -1, np.int32)
+    frag[0, :50] = seq
+    moves, end_scores, row0_score = nw_moves_kernel(
+        jnp.asarray(cons), jnp.asarray([50], np.int32),
+        jnp.asarray(frag), jnp.asarray([50], np.int32), T, Q,
+    )
+    assert int(np.asarray(end_scores).max()) == 50 * 3  # all matches
+    pt, pq, pmv = traceback_kernel(
+        moves, end_scores, row0_score, jnp.asarray([50], np.int32),
+        T, Q, T + Q,
+    )
+    pmv = np.asarray(pmv)[:, 0]
+    assert (pmv[pmv != 3] == 0).all()  # pure diagonal path
+    assert (pmv != 3).sum() == 50
+
+
+def test_device_consensus_quality(rng):
+    windows = []
+    truths = []
+    for _ in range(4):
+        truth = rng.integers(0, 4, 300).astype(np.uint8)
+        bb = mutate(rng, truth, 0.05, 0.05, 0.04)
+        frags = [mutate(rng, truth, 0.05, 0.05, 0.04) for _ in range(15)]
+        wts = [np.full(f.size, 11, np.uint8) for f in frags]
+        windows.append((bb, frags, wts))
+        truths.append(truth)
+    out = device_window_consensus(
+        windows, iterations=2, t_pad=384, q_pad=512, chunk=64
+    )
+    for cons, truth, (bb, frags, _) in zip(out, truths, windows):
+        ed_before = edit_distance(bb, truth)
+        ed_after = edit_distance(cons, truth)
+        assert ed_after < max(4, ed_before * 0.2)
+
+
+def test_device_consensus_no_fragments(rng):
+    bb = rng.integers(0, 4, 100).astype(np.uint8)
+    out = device_window_consensus(
+        [(bb, [], None)], iterations=1, t_pad=128, q_pad=128, chunk=8
+    )
+    assert np.array_equal(out[0], bb)
+
+
+def test_partial_fragments_do_not_erode_window(rng):
+    """Fragments covering only the middle must not cause deletion votes at
+    the uncovered head/tail (consensus-infix semantics)."""
+    truth = rng.integers(0, 4, 300).astype(np.uint8)
+    bb = truth.copy()
+    frags = [truth[100:200].copy() for _ in range(8)]
+    out = device_window_consensus(
+        [(bb, frags, None)], iterations=2, t_pad=384, q_pad=512, chunk=8
+    )
+    assert np.array_equal(out[0], truth)
