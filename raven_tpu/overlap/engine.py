@@ -39,7 +39,11 @@ class MinimizerIndex:
         self._occurrence = np.iinfo(np.int64).max  # filter threshold
 
     # ------------------------------------------------------------------ build
-    DEVICE_MIN_BASES = 8_000_000  # use the accelerator for big batches
+    # Device sketching transfers the dense sketch back to the host, which
+    # only pays off when the accelerator is locally attached (the remote
+    # tunnel in this environment makes host->device->host copies the
+    # bottleneck); opt in via RAVEN_TPU_DEVICE_SKETCH=1.
+    DEVICE_MIN_BASES = 8_000_000
 
     def _device_sketch(self, readset, ids):
         """Accelerator sketching via fixed-width segments; returns the same
@@ -99,9 +103,12 @@ class MinimizerIndex:
     def minimize(self, readset, ids, minhash: bool = False) -> None:
         """(Re)build the index from the sketches of `ids` (ram Minimize)."""
         ids = np.asarray(ids, dtype=np.int64)
+        import os
+
         result = None
         if (
-            not minhash
+            os.environ.get("RAVEN_TPU_DEVICE_SKETCH") == "1"
+            and not minhash
             and ids.size
             and int(readset.lengths[ids].sum()) >= self.DEVICE_MIN_BASES
         ):

@@ -1,0 +1,84 @@
+import numpy as np
+import pytest
+
+from raven_tpu.io import ReadSet
+from raven_tpu.polish.polisher import Polisher
+from tests.conftest import random_genome, sample_reads
+
+
+@pytest.fixture(scope="module")
+def setup(rng):
+    genome = random_genome(rng, 12000)
+    reads, _ = sample_reads(rng, genome, 60, 3000, error=0.05)
+    rs = ReadSet.from_sequences(reads)
+    from raven_tpu.io import encode
+
+    # target = raw draft with ONT-like errors (as an unpolished contig)
+    g = encode(genome)
+    draft = []
+    for c in g:
+        r = rng.random()
+        if r < 0.02:
+            continue  # deletion
+        if r < 0.04:
+            draft.append(int(rng.integers(0, 4)))  # insertion
+        if r < 0.07:
+            draft.append((int(c) + 1) % 4)  # substitution
+        else:
+            draft.append(int(c))
+    draft = np.array(draft, dtype=np.uint8)
+    return genome, rs, draft
+
+
+def test_find_overlaps_coverage(setup):
+    genome, rs, draft = setup
+    p = Polisher()
+    targets = [("Ctg0", draft)]
+    overlaps = p._find_overlaps(targets, rs)
+    # nearly all reads should map (clean simulation)
+    assert len(overlaps) > 0.8 * len(rs)
+    for o, (aq, at) in overlaps[:5]:
+        assert o["rhs_id"] == 0
+        assert aq.size >= 4  # chain anchors present
+
+
+def test_fragments_cover_windows(setup):
+    genome, rs, draft = setup
+    p = Polisher()
+    targets = [("Ctg0", draft)]
+    overlaps = p._find_overlaps(targets, rs)
+    frag_map = p._fragments(overlaps, targets, rs)
+    windows = frag_map[0]
+    n_windows = (draft.size + 499) // 500
+    covered = sum(1 for w in range(n_windows) if len(windows.get(w, [])) >= 2)
+    assert covered >= 0.9 * n_windows
+
+
+def test_polish_improves_draft(setup):
+    from raven_tpu.ops.edit_distance import edit_distance
+    from raven_tpu.io import encode
+
+    genome, rs, draft = setup
+    p = Polisher()
+    results = p.polish([("Ctg0", draft)], rs)
+    assert len(results) == 1
+    name, polished = results[0]
+    assert name.startswith("Ctg0 XC:f:")
+    fraction = float(name.rsplit(":", 1)[1])
+    assert fraction > 0.8
+    g = encode(genome)
+    # interior accuracy: polishing must fix most draft errors (contig-end
+    # windows may trim low-support tails, racon-like)
+    assert edit_distance(polished, g) < edit_distance(draft, g) * 0.5
+
+
+def test_polish_include_unpolished(setup, rng):
+    genome, rs, draft = setup
+    p = Polisher()
+    # an unrelated target gets no fragments
+    junk = rng.integers(0, 4, 3000).astype(np.uint8)
+    results = p.polish([("Ctg2", junk)], rs, include_unpolished=False)
+    assert results == []
+    results = p.polish([("Ctg2", junk)], rs, include_unpolished=True)
+    assert len(results) == 1
+    assert results[0][0].endswith("0.000000")
