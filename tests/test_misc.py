@@ -1,0 +1,80 @@
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from raven_tpu.config import OverlapPhaseCfg
+from raven_tpu.graph import Graph, assemble, construct_graph, get_csv, print_json
+from raven_tpu.io import ReadSet
+from tests.conftest import random_genome, sample_reads
+
+
+@pytest.fixture(scope="module")
+def small_graph(rng):
+    genome = random_genome(rng, 15000)
+    reads, _ = sample_reads(rng, genome, 120, 3000, error=0.03)
+    rs = ReadSet.from_sequences(reads)
+    g = Graph()
+    construct_graph(g, rs, OverlapPhaseCfg())
+    return g
+
+
+def test_csv_with_similarity(small_graph):
+    lines = get_csv(
+        small_graph,
+        print_sequence_name=True,
+        print_pile_begin_end=True,
+        print_edge_similarity=True,
+    )
+    assert lines
+    edge_lines = [ln for ln in lines if ",1," in ln]
+    assert edge_lines
+    # similarity column parses as a float in [0, 1]
+    sim = float(edge_lines[0].rsplit(" ", 1)[1])
+    assert 0.0 <= sim <= 1.0
+
+
+def test_plotter_renders_piles(small_graph, tmp_path):
+    matplotlib = pytest.importorskip("matplotlib")
+    pj = tmp_path / "piles.json"
+    print_json(small_graph, str(pj))
+    out_dir = tmp_path / "plots"
+    # plot just a couple of piles for speed
+    with open(pj) as fh:
+        data = json.load(fh)
+    small = dict(list(data.items())[:2])
+    with open(pj, "w") as fh:
+        json.dump(small, fh)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "misc", "plotter.py"),
+            str(pj),
+            "--mode",
+            "pile",
+            "--out-dir",
+            str(out_dir),
+        ],
+        capture_output=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr.decode()
+    assert len(list(out_dir.glob("pile_*.png"))) == 2
+
+
+def test_plotter_renders_layout(small_graph, tmp_path):
+    matplotlib = pytest.importorskip("matplotlib")
+    from raven_tpu.graph.layout import create_force_directed_layout
+
+    assemble(small_graph)
+    lj = tmp_path / "layout.json"
+    create_force_directed_layout(small_graph, path=str(lj), num_iterations=5)
+    with open(lj) as fh:
+        data = json.load(fh)
+    # layout JSON may be empty if the graph has no junction component; the
+    # writer must still emit valid JSON
+    assert isinstance(data, dict)
