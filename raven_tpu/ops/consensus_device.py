@@ -122,6 +122,21 @@ if HAS_JAX:
         return pt, pq, pmv
 
 
+def homopolymer_run_map(cons_arr: np.ndarray, cons_lens: np.ndarray) -> np.ndarray:
+    """cons_runs[w, t, b]: canonical junction index for inserting base b
+    before position t — the start of the maximal run of b ending at t-1."""
+    n_win, T = cons_arr.shape
+    runs = np.broadcast_to(
+        np.arange(T + 1, dtype=np.int32)[None, :, None], (n_win, T + 1, 4)
+    ).copy()
+    for t in range(1, T + 1):
+        prev_char = cons_arr[:, t - 1]
+        for b in range(4):
+            match = prev_char == b
+            runs[match, t, b] = runs[match, t - 1, b]
+    return runs
+
+
 def consensus_votes(
     path_t: np.ndarray,
     path_q: np.ndarray,
@@ -131,6 +146,7 @@ def consensus_votes(
     win_of: np.ndarray,
     n_windows: int,
     T: int,
+    cons_runs: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Aggregate alignment paths into per-column votes (host, vectorized).
 
@@ -154,6 +170,16 @@ def consensus_votes(
     q = path_q.reshape(-1)
     frag_idx = np.broadcast_to(np.arange(B), (STEPS, B)).reshape(-1)
     win = win_of[frag_idx]
+
+    # homopolymer canonicalization: inserting/deleting base b anywhere in a
+    # run of b is one and the same edit; alignments scatter such votes
+    # across the run's junctions, so votes are moved to the run start
+    # (cons_runs[w, t, b] = canonical junction for inserting b before t)
+    if cons_runs is None:
+        cons_runs = np.broadcast_to(
+            np.arange(T + 1, dtype=np.int32)[None, :, None],
+            (n_windows, T + 1, 4),
+        )
 
     # diagonal: fragment base q-1 votes at consensus position t-1
     sel = mv == 0
@@ -180,7 +206,8 @@ def consensus_votes(
         first = sel & (prev_mv != 2)  # reverse-order: run boundary
         fb = frags[frag_idx[first], q[first] - 1]
         fw = w[frag_idx[first], q[first] - 1].astype(np.int64)
-        np.add.at(ins_votes, (win[first], t[first], fb), fw)
+        junction = cons_runs[win[first], t[first], fb]
+        np.add.at(ins_votes, (win[first], junction, fb), fw)
     return base_votes, ins_votes, cover
 
 
@@ -246,6 +273,7 @@ def device_window_consensus(
         base_votes = np.zeros((n_win, t_pad, 5), dtype=np.int64)
         ins_votes = np.zeros((n_win, t_pad + 1, 4), dtype=np.int64)
         cover = np.zeros((n_win, t_pad), dtype=np.int64)
+        cons_runs = homopolymer_run_map(cons_arr, cons_lens)
 
         for c0 in range(0, B_total, chunk):
             sl = slice(c0, min(c0 + chunk, B_total))
@@ -277,9 +305,10 @@ def device_window_consensus(
                 pmv,
                 frags_arr[sl],
                 w_arr[sl] if w_arr is not None else None,
-                win_of_arr[sl] - 0,
+                win_of_arr[sl],
                 n_win,
                 t_pad,
+                cons_runs=cons_runs,
             )
             base_votes += bv
             ins_votes += iv

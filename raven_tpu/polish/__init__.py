@@ -55,6 +55,11 @@ def polish(graph, readset, cfg: PolishCfg | None = None, checkpoints: bool = Fal
     nodes = list(unitig_nodes)
 
     while graph.stage < cfg.num_rounds:
+        # final round finishes with the POA engine; earlier rounds use the
+        # batched device consensus when an accelerator is present
+        polisher.use_device_consensus = (
+            False if graph.stage == cfg.num_rounds - 1 else None
+        )
         results = polisher.polish(targets, readset, include_unpolished=False)
 
         new_targets = []

@@ -72,6 +72,12 @@ class Polisher:
         self.mismatch = mismatch
         self.gap = gap
         self.use_device = use_device
+        # consensus backend override: None = follow use_device/auto.
+        # The graph-level driver runs device consensus for all rounds but
+        # the last and finishes with the POA engine — the device pass
+        # recovers indel-driven length fast, the POA pass has the better
+        # local accuracy (lambda: 1163 vs 1236 host-only / 1526 device-only)
+        self.use_device_consensus: bool | None = None
 
     # ------------------------------------------------------------------
     def _infix_align(self, tgt_arr, t_lens, qry_arr, q_lens):
@@ -324,7 +330,9 @@ class Polisher:
         """Dispatch window consensus jobs: batched device kernel on an
         accelerator (the reference's CUDA-POA analog), C++/python POA on
         host."""
-        use_dev = self.use_device
+        use_dev = self.use_device_consensus
+        if use_dev is None:
+            use_dev = self.use_device
         if use_dev is None:
             try:
                 import jax
