@@ -122,3 +122,42 @@ def test_unitig_gfa_and_json(rng, tmp_path):
     assert len(piles) > 0
     first = next(iter(piles.values()))
     assert "data_" in first and "median_" in first
+
+
+def test_checkpoint_resume_through_polish(rng, tmp_path, monkeypatch):
+    """Reference Checkpoints test shape (raven_test.cpp:69-95): reload the
+    checkpoint between construct, assemble, and every polish round; final
+    contigs must equal the straight-through run bit for bit."""
+    monkeypatch.chdir(tmp_path)
+    from raven_tpu.config import OverlapPhaseCfg, PolishCfg
+    from raven_tpu.graph import assemble, construct_graph, load_graph
+    from raven_tpu.graph.common import get_unitigs
+    from raven_tpu.graph import layout
+    from raven_tpu.polish import polish
+
+    genome = random_genome(rng, 20000)
+    reads, _ = sample_reads(rng, genome, 150, 3000, error=0.05)
+    rs = ReadSet.from_sequences(reads)
+    cfg = PolishCfg(num_rounds=2)
+
+    layout.reset_seed()
+    g1 = Graph()
+    construct_graph(g1, rs, OverlapPhaseCfg())
+    assemble(g1)
+    polish(g1, rs, cfg)
+    u1 = get_unitigs(g1, drop_unpolished=True)
+
+    layout.reset_seed()
+    g = Graph()
+    construct_graph(g, rs, OverlapPhaseCfg(), checkpoints=True)
+    g = load_graph()
+    assemble(g, checkpoints=True)
+    g = load_graph()
+    polish(g, rs, cfg, checkpoints=True)  # runs rounds 1..2 w/ checkpoints
+    g = load_graph()
+    polish(g, rs, cfg, checkpoints=True)  # no-op: stage == num_rounds
+    u2 = get_unitigs(g, drop_unpolished=True)
+
+    assert len(u1) == len(u2) and len(u1) > 0
+    for a, b in zip(u1, u2):
+        assert np.array_equal(a.codes, b.codes)
