@@ -50,13 +50,18 @@ void lis_indices(const std::vector<std::int64_t>& v,
 extern "C" {
 
 // Returns the number of overlaps written (<= cap), or -1 on overflow.
-long long raven_chain(const std::uint32_t* tid, const std::uint8_t* same,
-                      const std::int64_t* qpos, const std::int64_t* tpos,
-                      long long n, int kmer, std::uint32_t lhs_id,
-                      std::uint32_t* o_lhs_begin, std::uint32_t* o_lhs_end,
-                      std::uint32_t* o_rhs_id, std::uint32_t* o_rhs_begin,
-                      std::uint32_t* o_rhs_end, std::uint32_t* o_score,
-                      std::uint8_t* o_strand, long long cap) {
+// When anchor buffers are non-null, each overlap's chain anchors (q, t)
+// are appended to anchor_q/anchor_t with exclusive-end offsets in
+// anchor_end[i]; anchors beyond anchor_cap spill -> returns -1.
+long long raven_chain_anchors(
+    const std::uint32_t* tid, const std::uint8_t* same,
+    const std::int64_t* qpos, const std::int64_t* tpos, long long n,
+    int kmer, std::uint32_t lhs_id, std::uint32_t* o_lhs_begin,
+    std::uint32_t* o_lhs_end, std::uint32_t* o_rhs_id,
+    std::uint32_t* o_rhs_begin, std::uint32_t* o_rhs_end,
+    std::uint32_t* o_score, std::uint8_t* o_strand, long long cap,
+    std::int64_t* anchor_q, std::int64_t* anchor_t, std::int64_t* anchor_end,
+    long long anchor_cap) {
   if (n == 0) return 0;
 
   struct M {
@@ -78,6 +83,7 @@ long long raven_chain(const std::uint32_t* tid, const std::uint8_t* same,
   });
 
   long long written = 0;
+  long long anchors_written = 0;
   std::vector<std::int64_t> vals, keep;
   std::vector<std::pair<std::int64_t, std::int64_t>> group;  // (q, t)
 
@@ -125,6 +131,15 @@ long long raven_chain(const std::uint32_t* tid, const std::uint8_t* same,
             t_hi += kmer;
             if (lhs_e - lhs_b >= kMinSpan && t_hi - t_lo >= kMinSpan) {
               if (written >= cap) return -1;
+              if (anchor_q != nullptr) {
+                if (anchors_written + cnt > anchor_cap) return -1;
+                for (std::size_t m2 = piece_start; m2 < j; ++m2) {
+                  anchor_q[anchors_written] = group[keep[m2]].first;
+                  anchor_t[anchors_written] = group[keep[m2]].second;
+                  ++anchors_written;
+                }
+                anchor_end[written] = anchors_written;
+              }
               o_lhs_begin[written] = static_cast<std::uint32_t>(lhs_b);
               o_lhs_end[written] = static_cast<std::uint32_t>(lhs_e);
               o_rhs_id[written] = ms[gs].tid;
@@ -143,6 +158,20 @@ long long raven_chain(const std::uint32_t* tid, const std::uint8_t* same,
   }
   (void)lhs_id;
   return written;
+}
+
+// Backwards-compatible entry without anchor outputs.
+long long raven_chain(const std::uint32_t* tid, const std::uint8_t* same,
+                      const std::int64_t* qpos, const std::int64_t* tpos,
+                      long long n, int kmer, std::uint32_t lhs_id,
+                      std::uint32_t* o_lhs_begin, std::uint32_t* o_lhs_end,
+                      std::uint32_t* o_rhs_id, std::uint32_t* o_rhs_begin,
+                      std::uint32_t* o_rhs_end, std::uint32_t* o_score,
+                      std::uint8_t* o_strand, long long cap) {
+  return raven_chain_anchors(tid, same, qpos, tpos, n, kmer, lhs_id,
+                             o_lhs_begin, o_lhs_end, o_rhs_id, o_rhs_begin,
+                             o_rhs_end, o_score, o_strand, cap, nullptr,
+                             nullptr, nullptr, 0);
 }
 
 }  // extern "C"

@@ -48,7 +48,10 @@ def _native_chain():
     lib = get_lib()
     if lib is None:
         return None
-    fn = lib.raven_chain
+    try:
+        fn = lib.raven_chain_anchors
+    except AttributeError:
+        return None
     fn.restype = ctypes.c_longlong
     u32p = ctypes.POINTER(ctypes.c_uint32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -57,12 +60,13 @@ def _native_chain():
         u32p, u8p, i64p, i64p, ctypes.c_longlong, ctypes.c_int,
         ctypes.c_uint32,
         u32p, u32p, u32p, u32p, u32p, u32p, u8p, ctypes.c_longlong,
+        i64p, i64p, i64p, ctypes.c_longlong,
     ]
     _CHAIN_FN = fn
     return fn
 
 
-def _chain_native(lhs_id, tid, same, qpos, tpos, k):
+def _chain_native(lhs_id, tid, same, qpos, tpos, k, anchors_out=None):
     """C++ chaining core; returns structured overlaps or None."""
     import ctypes
 
@@ -81,11 +85,23 @@ def _chain_native(lhs_id, tid, same, qpos, tpos, k):
     }
     strand = np.zeros(cap, dtype=np.uint8)
     u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_longlong)
+    if anchors_out is not None:
+        anchor_cap = n + 8
+        aq = np.zeros(anchor_cap, dtype=np.int64)
+        at = np.zeros(anchor_cap, dtype=np.int64)
+        aend = np.zeros(cap, dtype=np.int64)
+        aq_p = aq.ctypes.data_as(i64p)
+        at_p = at.ctypes.data_as(i64p)
+        aend_p = aend.ctypes.data_as(i64p)
+    else:
+        anchor_cap = 0
+        aq_p = at_p = aend_p = ctypes.cast(None, i64p)
     m = fn(
         tid_c.ctypes.data_as(u32p),
         same_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        q_c.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
-        t_c.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        q_c.ctypes.data_as(i64p),
+        t_c.ctypes.data_as(i64p),
         n,
         k,
         np.uint32(lhs_id),
@@ -97,6 +113,10 @@ def _chain_native(lhs_id, tid, same, qpos, tpos, k):
         out["score"].ctypes.data_as(u32p),
         strand.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         cap,
+        aq_p,
+        at_p,
+        aend_p,
+        anchor_cap,
     )
     if m < 0:
         return None  # capacity overflow; caller falls back
@@ -105,6 +125,12 @@ def _chain_native(lhs_id, tid, same, qpos, tpos, k):
     for name in ("lhs_begin", "lhs_end", "rhs_id", "rhs_begin", "rhs_end", "score"):
         res[name] = out[name][:m]
     res["strand"] = strand[:m]
+    if anchors_out is not None:
+        start = 0
+        for i in range(m):
+            end = int(aend[i])
+            anchors_out.append((aq[start:end].copy(), at[start:end].copy()))
+            start = end
     return res
 
 
@@ -153,8 +179,10 @@ def chain_matches(
     qpos = qpos.astype(np.int64)
     tpos = tpos.astype(np.int64)
 
-    if anchors_out is None and tid.size >= 32:
-        native = _chain_native(lhs_id, tid, same, qpos, tpos, k)
+    if tid.size >= 32:
+        native = _chain_native(
+            lhs_id, tid, same, qpos, tpos, k, anchors_out=anchors_out
+        )
         if native is not None:
             return native
 
@@ -225,3 +253,14 @@ def chain_matches(
         return np.zeros(0, dtype=OVERLAP_DTYPE)
     arr = np.array(out, dtype=np.int64).T
     return make_overlaps(*arr)
+
+
+def _chain_python_for_test(lhs_id, tid, same, qpos, tpos, k, anchors_out):
+    """Force the pure-python chain path (test oracle)."""
+    global _CHAIN_FN, _CHAIN_TRIED
+    saved = (_CHAIN_FN, _CHAIN_TRIED)
+    _CHAIN_FN, _CHAIN_TRIED = None, True
+    try:
+        return chain_matches(lhs_id, tid, same, qpos, tpos, k, anchors_out)
+    finally:
+        _CHAIN_FN, _CHAIN_TRIED = saved
