@@ -50,13 +50,19 @@ if HAS_JAX:
 
         Input arrays are sharded on the leading (read-batch) axis; the
         returned function computes the global candidate-pair count with the
-        index sharded by hash range.
+        index sharded by hash range over ALL mesh axes (multi-host meshes
+        use ('data', 'shard'): the hash exchange then spans the full slice,
+        with neighbouring hash ranges placed along the ICI-fast axis).
 
         capacity: per-device minimizer capacity (static). The all-to-all
         slot size is capacity // n_shards per (source, range) pair.
         """
         n = mesh.devices.size
-        axis = mesh.axis_names[0]
+        axis = (
+            mesh.axis_names[0]
+            if len(mesh.axis_names) == 1
+            else tuple(mesh.axis_names)
+        )
         # per-destination slot with 2x headroom over the balanced share —
         # hash ranges are near-uniform but not exactly balanced
         slot = min(capacity, (2 * capacity) // n)
@@ -132,11 +138,12 @@ if HAS_JAX:
 
         from jax.experimental.shard_map import shard_map
 
+        spec_axis = axis if isinstance(axis, str) else tuple(axis)
         return jax.jit(
             shard_map(
                 step,
                 mesh=mesh,
-                in_specs=(P(axis, None), P(axis), P(axis)),
+                in_specs=(P(spec_axis, None), P(spec_axis), P(spec_axis)),
                 out_specs=P(),
                 check_rep=False,
             )

@@ -85,3 +85,51 @@ def test_entry_compiles():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert int(out) > 0
+
+
+def test_two_axis_mesh_candidate_count(rng):
+    """('data', 'shard') mesh: the hash exchange spans both axes and the
+    count matches the 1-axis result."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from raven_tpu.parallel.distributed import make_data_shard_mesh
+    from raven_tpu.parallel.sharded_index import sharded_candidate_step
+
+    mesh = make_data_shard_mesh(2, 4)
+    B, L = 16, 512
+    k, w = 15, 5
+    genome = rng.integers(0, 4, 4096).astype(np.uint32)
+    codes = np.zeros((B, L), dtype=np.uint32)
+    for b in range(B):
+        s = int(rng.integers(0, genome.size - L))
+        codes[b] = genome[s : s + L]
+    lengths = np.full(B, L, dtype=np.int32)
+    read_ids = np.arange(B, dtype=np.int32)
+
+    shard = NamedSharding(mesh, P(("data", "shard")))
+    shard2 = NamedSharding(mesh, P(("data", "shard"), None))
+    capacity = ((2 * L) // 8) * 8
+
+    step = sharded_candidate_step(mesh, k=k, w=w, capacity=capacity, occurrence=1000)
+    pairs = int(
+        step(
+            jax.device_put(jnp.asarray(codes), shard2),
+            jax.device_put(jnp.asarray(lengths), shard),
+            jax.device_put(jnp.asarray(read_ids), shard),
+        )
+    )
+
+    from raven_tpu.overlap.minimizer import minimize_read
+
+    hashes = []
+    for b in range(B):
+        h, p, s = minimize_read(codes[b].astype(np.uint8), k, w)
+        hashes.extend(h.tolist())
+    hs = np.sort(np.array(hashes, dtype=np.uint64))
+    lo = np.searchsorted(hs, hs, "left")
+    hi = np.searchsorted(hs, hs, "right")
+    expected = int(((hi - lo) - 1).sum() // 2)
+    assert pairs == expected
