@@ -109,10 +109,7 @@ def minimize_read(
     return hashes, pos, strands
 
 
-def minimize_reads(
-    readset, ids: np.ndarray, k: int, w: int, minhash: bool = False
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Sketch several reads; returns (hash, id, pos, strand) concatenated."""
+def _minimize_chunk(readset, ids, k, w, minhash):
     hs, is_, ps, ss = [], [], [], []
     for i in ids:
         h, p, s = minimize_read(readset.sequence(int(i)), k, w, minhash)
@@ -134,3 +131,59 @@ def minimize_reads(
         np.concatenate(ps),
         np.concatenate(ss),
     )
+
+
+_POOL_STATE: dict = {}
+
+
+def _pool_worker(args):
+    lo, hi = args
+    rs = _POOL_STATE["readset"]
+    return _minimize_chunk(
+        rs,
+        _POOL_STATE["ids"][lo:hi],
+        _POOL_STATE["k"],
+        _POOL_STATE["w"],
+        _POOL_STATE["minhash"],
+    )
+
+
+def minimize_reads(
+    readset, ids: np.ndarray, k: int, w: int, minhash: bool = False
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Sketch several reads; returns (hash, id, pos, strand) concatenated.
+
+    Large batches fan out over processes (fork shares the read arrays
+    copy-on-write) — the host equivalent of the reference's thread pool
+    (construct.cc:57-113); single-process for small inputs and platforms
+    without fork.
+    """
+    import os
+    import sys
+
+    total = int(readset.lengths[np.asarray(ids, dtype=np.int64)].sum()) if len(ids) else 0
+    workers = min(os.cpu_count() or 1, 8)
+    if (
+        total >= 16_000_000
+        and workers > 1
+        and sys.platform.startswith("linux")
+        and os.environ.get("RAVEN_TPU_NO_MP") != "1"
+    ):
+        import multiprocessing as mp
+
+        _POOL_STATE.update(
+            {"readset": readset, "ids": ids, "k": k, "w": w, "minhash": minhash}
+        )
+        try:
+            n = len(ids)
+            chunk = (n + workers * 4 - 1) // (workers * 4)
+            ranges = [(lo, min(lo + chunk, n)) for lo in range(0, n, chunk)]
+            ctx = mp.get_context("fork")
+            with ctx.Pool(workers) as pool:
+                parts = pool.map(_pool_worker, ranges)
+            return tuple(
+                np.concatenate([p[j] for p in parts]) for j in range(4)
+            )  # type: ignore[return-value]
+        finally:
+            _POOL_STATE.clear()
+    return _minimize_chunk(readset, ids, k, w, minhash)
