@@ -72,25 +72,24 @@ def find_overlaps_and_create_piles(
 
         t0 = time.perf_counter()
         map_bytes = 0
-        pending: list[np.ndarray] = []
+        batch_ids: list[int] = []
         num_overlaps = [int(overlaps[k].size) for k in range(n)]
         for k in range(i + 1):
-            ovl = index.map(
-                readset,
-                k,
-                avoid_equal=True,
-                avoid_symmetric=True,
-                minhash=True,
-            )
-            if ovl.size:
-                pending.append(ovl)
+            batch_ids.append(k)
             map_bytes += int(lengths[k])
             if k != i and map_bytes < MAP_BATCH_BYTES:
                 continue
             map_bytes = 0
 
-            new = _concat(pending)
-            pending = []
+            results = index.map_many(
+                readset,
+                np.array(batch_ids, dtype=np.int64),
+                avoid_equal=True,
+                avoid_symmetric=True,
+                minhash=True,
+            )
+            new = _concat([results[b] for b in batch_ids])
+            batch_ids = []
             if new.size:
                 # distribute to both endpoint lists
                 rev = overlap_reverse(new)
@@ -287,18 +286,34 @@ def find_overlaps_and_repetitive_regions(
 
         t0 = time.perf_counter()
         index.filter(cfg.freq)
-        for k in range(idx + 1):
-            rid = order[k]
-            filtered: list[int] = []
-            ovl = index.map(
-                readset,
-                rid,
-                avoid_equal=True,
-                avoid_symmetric=True,
-                minhash=False,
-                filtered_out=filtered,
+        all_rids = [order[k] for k in range(idx + 1)]
+        filtered_map: dict[int, list] = {}
+        results: dict[int, np.ndarray] = {}
+        sub: list[int] = []
+        sub_bytes = 0
+        for pos, rid in enumerate(all_rids):  # 1 GiB map sub-batches
+            sub.append(rid)
+            sub_bytes += int(readset.lengths[rid])
+            if pos != len(all_rids) - 1 and sub_bytes < MAP_BATCH_BYTES:
+                continue
+            results.update(
+                index.map_many(
+                    readset,
+                    np.array(sub, dtype=np.int64),
+                    avoid_equal=True,
+                    avoid_symmetric=True,
+                    minhash=False,
+                    filtered_out=filtered_map,
+                )
             )
-            piles.add_kmers(rid, filtered, cfg.kmer_len, readset.sequence(rid))
+            sub = []
+            sub_bytes = 0
+        for rid in all_rids:
+            piles.add_kmers(
+                rid, filtered_map.get(rid, []), cfg.kmer_len,
+                readset.sequence(rid),
+            )
+            ovl = results[rid]
             if cfg.identity != 0 and ovl.size:
                 from raven_tpu.ops.edit_distance import overlap_identity
 

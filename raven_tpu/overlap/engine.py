@@ -223,3 +223,85 @@ class MinimizerIndex:
         return chain_mod.chain_matches(
             i, tid, same, q_pos, tpos, self.k, anchors_out=anchors_out
         )
+
+    def map_many(
+        self,
+        readset,
+        ids,
+        avoid_equal: bool = True,
+        avoid_symmetric: bool = True,
+        minhash: bool = False,
+        filtered_out: dict | None = None,
+    ) -> dict[int, np.ndarray]:
+        """Map many reads in one vectorized pass (same results as per-read
+        map(), order included).
+
+        The sketches are computed in one (process-parallel) sweep, the index
+        join (searchsorted + expansion + symmetric filtering) runs over the
+        whole batch at once, and only the chaining dispatches per read
+        (native C++).  filtered_out: {read_id: [kmer positions]} collecting
+        too-frequent minimizers per read.
+        """
+        ids = np.asarray(ids, dtype=np.int64)
+        out: dict[int, np.ndarray] = {
+            int(i): np.zeros(0, dtype=OVERLAP_DTYPE) for i in ids
+        }
+        if ids.size == 0 or self._hashes.size == 0:
+            return out
+        qh, qi, qp, qs = minimize_reads(readset, ids, self.k, self.w, minhash)
+        if qh.size == 0:
+            return out
+
+        lo = np.searchsorted(self._hashes, qh, side="left")
+        hi = np.searchsorted(self._hashes, qh, side="right")
+        counts = hi - lo
+
+        too_frequent = counts > self._occurrence
+        if filtered_out is not None and too_frequent.any():
+            for rid, pos in zip(qi[too_frequent], qp[too_frequent]):
+                filtered_out.setdefault(int(rid), []).append(int(pos))
+
+        usable = (counts > 0) & ~too_frequent
+        if not usable.any():
+            return out
+        lo_u = lo[usable]
+        cnt_u = counts[usable]
+        qi_u = qi[usable].astype(np.int64)
+        qp_u = qp[usable]
+        qs_u = qs[usable]
+
+        total = int(cnt_u.sum())
+        offsets = np.repeat(np.cumsum(cnt_u) - cnt_u, cnt_u)
+        flat = np.arange(total, dtype=np.int64) - offsets + np.repeat(lo_u, cnt_u)
+        tid = self._ids[flat]
+        tpos = self._pos[flat]
+        tstrand = self._strand[flat]
+        q_id = np.repeat(qi_u, cnt_u)
+        q_pos = np.repeat(qp_u, cnt_u)
+        q_strand = np.repeat(qs_u, cnt_u)
+
+        keep = np.ones(total, dtype=bool)
+        if avoid_equal:
+            keep &= tid != q_id
+        if avoid_symmetric:
+            keep &= tid > q_id
+        if not keep.any():
+            return out
+        tid = tid[keep]
+        tpos = tpos[keep]
+        same = (tstrand[keep] == q_strand[keep]).astype(np.uint8)
+        q_pos = q_pos[keep]
+        q_id = q_id[keep]
+
+        # per-read chaining over contiguous slices (q_id ascends within the
+        # sketch ordering only if ids were ascending; sort to be safe)
+        order = np.argsort(q_id, kind="stable")
+        q_id = q_id[order]
+        tid, tpos, same, q_pos = tid[order], tpos[order], same[order], q_pos[order]
+        uniq, starts = np.unique(q_id, return_index=True)
+        bounds = np.append(starts, q_id.size)
+        for u, s0, s1 in zip(uniq, bounds[:-1], bounds[1:]):
+            out[int(u)] = chain_mod.chain_matches(
+                int(u), tid[s0:s1], same[s0:s1], q_pos[s0:s1], tpos[s0:s1], self.k
+            )
+        return out

@@ -139,3 +139,19 @@ def test_avoid_symmetric_dedup(rng):
     # avoid_equal=False finds self overlap
     ovl_self = idx.map(rs, 0, avoid_equal=False, avoid_symmetric=False)
     assert (ovl_self["rhs_id"] == 0).any()
+
+
+def test_map_many_matches_per_read(rng):
+    genome = random_genome(rng, 20000)
+    reads, _ = sample_reads(rng, genome, 60, 3000, error=0.05)
+    rs = ReadSet.from_sequences(reads)
+    idx = MinimizerIndex(15, 5)
+    idx.minimize(rs, np.arange(len(reads)))
+    idx.filter(0.01)  # aggressive filter so filtered_out paths trigger
+    fo = {}
+    many = idx.map_many(rs, np.arange(len(reads)), filtered_out=fo)
+    for i in range(len(reads)):
+        f1 = []
+        single = idx.map(rs, i, filtered_out=f1)
+        assert np.array_equal(single, many[i])
+        assert f1 == fo.get(i, [])
