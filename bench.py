@@ -77,13 +77,20 @@ def synth_reads(genome_size: int, coverage: float, mean_len: int, error: float):
 
 
 def host_rate(readset, occurrence) -> tuple[float, int]:
-    """numpy reference path: sketch + sort + join count."""
+    """numpy reference path: sketch + sort + join count.
+
+    Pinned to a single process so the baseline definition stays stable
+    across rounds (the production host path fans out over cores)."""
     from raven_tpu.overlap.minimizer import minimize_reads
 
     t0 = time.perf_counter()
-    h, ids, pos, strand = minimize_reads(
-        readset, np.arange(len(readset)), K, W
-    )
+    os.environ["RAVEN_TPU_NO_MP"] = "1"
+    try:
+        h, ids, pos, strand = minimize_reads(
+            readset, np.arange(len(readset)), K, W
+        )
+    finally:
+        os.environ.pop("RAVEN_TPU_NO_MP", None)
     order = np.argsort(h, kind="stable")
     hs = h[order]
     lo = np.searchsorted(hs, hs, side="left")
