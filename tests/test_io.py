@@ -103,3 +103,19 @@ def test_native_parser_matches_python(tmp_path):
     assert native.names == python.names
     assert np.array_equal(native.codes, python.codes)
     assert np.array_equal(native.quals, python.quals)
+
+
+def test_load_sequences_multi_file(tmp_path):
+    from raven_tpu.io import load_sequences
+
+    a = tmp_path / "a.fasta"
+    a.write_text(">x\nACGT\n")
+    b = tmp_path / "b.fastq"
+    b.write_text("@y\nGGTT\n+\nIIII\n")
+    rs = load_sequences([str(a), str(b)])
+    assert rs.names == ["x", "y"]
+    assert rs.sequence_str(0) == "ACGT" and rs.sequence_str(1) == "GGTT"
+    # quality present for the fastq part, zero-filled for the fasta part
+    assert rs.has_quality
+    assert rs.quality(0).tolist() == [0, 0, 0, 0]
+    assert rs.quality(1).tolist() == [40, 40, 40, 40]

@@ -161,3 +161,27 @@ def test_checkpoint_resume_through_polish(rng, tmp_path, monkeypatch):
     assert len(u1) == len(u2) and len(u1) > 0
     for a, b in zip(u1, u2):
         assert np.array_equal(a.codes, b.codes)
+
+
+def test_gfa_line_format(rng):
+    """Byte-level line shapes of the reference writers
+    (graph_repr.cc:19-64): S with LN/RC(/dp) tags, L with <overlap>M."""
+    import re
+
+    from raven_tpu.graph import get_gfa
+    from raven_tpu.graph.graph import Graph as G2
+    from raven_tpu.io import encode
+
+    g = G2()
+    n1, _ = g.new_node_pair("r1", encode("ACGTACGTAC"))
+    n2, _ = g.new_node_pair("r2", encode("GTACGGGTTT"))
+    g.new_edge_pair(n1, n2, 6, 6)
+    n1.is_circular = True
+    lines = get_gfa(g, include_dp=True)
+    s_lines = [ln for ln in lines if ln.startswith("S\t")]
+    l_lines = [ln for ln in lines if ln.startswith("L\t")]
+    assert re.fullmatch(
+        r"S\tr1\tACGTACGTAC\tLN:i:10\tRC:i:1\tdp:f:\d+", s_lines[0]
+    )
+    assert "L\tr1\t+\tr1\t+\t0M" in l_lines  # circular self-link
+    assert "L\tr1\t+\tr2\t+\t4M" in l_lines  # overlap = len - edge length
