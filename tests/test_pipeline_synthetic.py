@@ -51,3 +51,45 @@ def test_assemble_produces_single_contig(assembled):
     ed = min(fwd, rev)
     # contig may be clipped at ends; allow boundary slack + error rate
     assert ed < 0.08 * len(genome)
+
+
+def test_chimeric_reads_filtered(rng):
+    """Chimeric reads (two distant genome segments joined) must be trimmed
+    or invalidated by the pile stages and not break the assembly."""
+    genome = random_genome(rng, 30000)
+    reads, _ = sample_reads(rng, genome, 200, 3000, error=0.03)
+    from raven_tpu.io import encode
+
+    # add 12 chimeras joining the two genome halves
+    chimera_ids = []
+    for j in range(12):
+        a = int(rng.integers(0, 5000))
+        b = int(rng.integers(20000, 25000))
+        chim = np.concatenate(
+            [encode(genome[a : a + 1500]), encode(genome[b : b + 1500])]
+        )
+        chimera_ids.append(len(reads))
+        reads.append(chim)
+    rs = ReadSet.from_sequences(reads)
+    graph = Graph()
+    construct_graph(graph, rs, OverlapPhaseCfg())
+    piles = graph.piles
+    # chimeras are either invalidated or trimmed to one side (valid span
+    # must not cover both halves of the junction at 1500)
+    for cid in chimera_ids:
+        if piles.is_invalid[cid]:
+            continue
+        begin = piles.begin_bases(cid)
+        end = piles.end_bases(cid)
+        assert not (begin < 1200 and end > 1800), (
+            f"chimera {cid} kept across its junction [{begin}, {end})"
+        )
+    assemble(graph)
+    old = GLOBALS.min_unitig_size
+    GLOBALS.min_unitig_size = 5000
+    try:
+        unitigs = get_unitigs(graph)
+    finally:
+        GLOBALS.min_unitig_size = old
+    main = max(unitigs, key=lambda n: n.length)
+    assert main.length > 0.8 * len(genome)
