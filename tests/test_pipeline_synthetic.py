@@ -93,3 +93,21 @@ def test_chimeric_reads_filtered(rng):
         GLOBALS.min_unitig_size = old
     main = max(unitigs, key=lambda n: n.length)
     assert main.length > 0.8 * len(genome)
+
+
+def test_repeat_regions_detected(rng):
+    """A strong tandem-style repeat must raise repetitive-region flags on
+    reads spanning it (stage -4 pile analysis) without breaking assembly."""
+    from raven_tpu.io import encode
+
+    core = random_genome(rng, 12000)
+    repeat = random_genome(rng, 2500)
+    genome = core[:4000] + repeat + core[4000:8000] + repeat + core[8000:]
+    reads, _ = sample_reads(rng, genome, 180, 3000, error=0.03)
+    rs = ReadSet.from_sequences(reads)
+    graph = Graph()
+    construct_graph(graph, rs, OverlapPhaseCfg())
+    piles = graph.piles
+    assert piles.is_repetitive.any(), "no repetitive piles flagged"
+    assemble(graph)  # must terminate and leave a sane graph
+    assert any(n is not None for n in graph.nodes)
