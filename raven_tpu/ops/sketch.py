@@ -138,9 +138,17 @@ if HAS_JAX:
         keep_out = jnp.concatenate([keep, jnp.zeros((B, L - n), bool)], axis=1)
         return h_out, strand_out, keep_out
 
-    @functools.partial(jax.jit, static_argnames=("k", "w"))
+    @functools.partial(jax.jit, static_argnames=("k", "w", "use_pallas"))
     def sketch_segments_kernel(
-        codes, eff_lens, read_ids, base_offsets, claim_lo, claim_hi, k: int, w: int
+        codes,
+        eff_lens,
+        read_ids,
+        base_offsets,
+        claim_lo,
+        claim_hi,
+        k: int,
+        w: int,
+        use_pallas: bool = False,
     ):
         """Fixed-width segment sketching — the production TPU layout.
 
@@ -156,7 +164,13 @@ if HAS_JAX:
         base_offsets.  Returns flat (key, id, pos, strand) with UINT32_INF
         keys outside claims.
         """
-        h, strand, keep = sketch_kernel(codes, eff_lens, k, w)
+        if use_pallas:
+            from raven_tpu.ops.pallas_sketch import pallas_sketch
+
+            h, strand, keep = pallas_sketch(codes, eff_lens, k, w)
+            h = h.astype(jnp.uint32)
+        else:
+            h, strand, keep = sketch_kernel(codes, eff_lens, k, w)
         S, C = h.shape
         pos = jax.lax.broadcasted_iota(jnp.int32, (S, C), 1)
         claim = (pos >= claim_lo[:, None]) & (pos < claim_hi[:, None])
