@@ -137,10 +137,12 @@ def device_rate(readset, occurrence, blacklist) -> tuple[float, int]:
         chi = np.concatenate([chi, np.zeros(pad_S - S, np.int32)])
     cap = int(CHUNK * width * CAP_FRACTION) // 256 * 256
 
+    use_pallas = backend == "tpu"  # fused Pallas sketch on real hardware
+
     @functools.partial(jax.jit, static_argnames=("k", "w", "capacity"))
     def sketch_chunk(codes, eff, rids, base, clo, chi, k, w, capacity):
         key, ids, pos, sb = sketch_segments_kernel(
-            codes, eff, rids, base, clo, chi, k, w
+            codes, eff, rids, base, clo, chi, k, w, use_pallas=use_pallas
         )
         key_s, ids_s = jax.lax.sort((key, ids), num_keys=1)
         return key_s[:capacity], ids_s[:capacity]
