@@ -232,6 +232,7 @@ class MinimizerIndex:
         avoid_symmetric: bool = True,
         minhash: bool = False,
         filtered_out: dict | None = None,
+        anchors_out: dict | None = None,
     ) -> dict[int, np.ndarray]:
         """Map many reads in one vectorized pass (same results as per-read
         map(), order included).
@@ -301,7 +302,16 @@ class MinimizerIndex:
         uniq, starts = np.unique(q_id, return_index=True)
         bounds = np.append(starts, q_id.size)
         for u, s0, s1 in zip(uniq, bounds[:-1], bounds[1:]):
+            per_read_anchors = [] if anchors_out is not None else None
             out[int(u)] = chain_mod.chain_matches(
-                int(u), tid[s0:s1], same[s0:s1], q_pos[s0:s1], tpos[s0:s1], self.k
+                int(u),
+                tid[s0:s1],
+                same[s0:s1],
+                q_pos[s0:s1],
+                tpos[s0:s1],
+                self.k,
+                anchors_out=per_read_anchors,
             )
+            if anchors_out is not None:
+                anchors_out[int(u)] = per_read_anchors
         return out

@@ -117,16 +117,22 @@ class Polisher:
         index.minimize(view, np.arange(len(targets)))
         index.filter(0.001)
 
+        anchors_map: dict = {}
+        results: dict = {}
+        CHUNK = 4096  # bound the expanded match arrays
+        for c0 in range(0, len(readset), CHUNK):
+            results.update(
+                index.map_many(
+                    readset,
+                    np.arange(c0, min(c0 + CHUNK, len(readset))),
+                    avoid_equal=False,
+                    avoid_symmetric=False,
+                    anchors_out=anchors_map,
+                )
+            )
         chosen = []
         for i in range(len(readset)):
-            anchors: list = []
-            ovl = index.map(
-                readset,
-                i,
-                avoid_equal=False,
-                avoid_symmetric=False,
-                anchors_out=anchors,
-            )
+            ovl = results[i]
             if ovl.size == 0:
                 continue
             bi = int(np.argmax(overlap_length(ovl)))
@@ -136,7 +142,7 @@ class Polisher:
             err = 1.0 - min(lspan, rspan) / max(lspan, rspan)
             if err > self.error_threshold:
                 continue
-            chosen.append((best, anchors[bi]))
+            chosen.append((best, anchors_map[i][bi]))
         return chosen
 
     # ------------------------------------------------------------------
