@@ -55,10 +55,12 @@ def polish(graph, readset, cfg: PolishCfg | None = None, checkpoints: bool = Fal
     nodes = list(unitig_nodes)
 
     while graph.stage < cfg.num_rounds:
-        # final round finishes with the POA engine; earlier rounds use the
-        # batched device consensus when an accelerator is present
+        # hybrid schedule on accelerators: POA rounds for local accuracy,
+        # the batched device voting consensus LAST — it recovers the
+        # indel-driven length the POA trim gives up (lambda 2-round golden
+        # config: ED 1043 vs 1137 reference raven / 1236 POA-only)
         polisher.use_device_consensus = (
-            False if graph.stage == cfg.num_rounds - 1 else None
+            None if graph.stage == cfg.num_rounds - 1 else False
         )
         results = polisher.polish(targets, readset, include_unpolished=False)
 
