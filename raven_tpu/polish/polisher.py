@@ -37,6 +37,18 @@ MIN_FRAGMENT = int(WINDOW_LEN * 0.02)
 POA_BATCH_TARGET = 256  # device batch size for the JAX POA path
 
 
+_POA_JOBS = None
+_POA_SELF = None
+
+
+def _poa_pool_worker(i):
+    _, _, backbone, frag_codes, weights = _POA_JOBS[i]
+    s = _POA_SELF
+    return poa_consensus(
+        backbone, frag_codes, weights, s.match, s.mismatch, s.gap, s.trim
+    )
+
+
 class _SeqView:
     def __init__(self, codes_list):
         self.codes_list = codes_list
@@ -360,8 +372,18 @@ class Polisher:
             except Exception:
                 if self.use_device:
                     raise
-        return [
-            poa_consensus(
+        return self._run_poa_host(jobs)
+
+    def _run_poa_host(self, jobs):
+        """C++ POA over all windows; windows are independent, so large
+        batches fan out over a fork pool (the reference's racon runs its
+        windows on a thread pool likewise)."""
+        import os
+        import sys
+
+        def run_one(job):
+            _, _, backbone, frag_codes, weights = job
+            return poa_consensus(
                 backbone,
                 frag_codes,
                 weights,
@@ -370,5 +392,25 @@ class Polisher:
                 self.gap,
                 self.trim,
             )
-            for _, _, backbone, frag_codes, weights in jobs
-        ]
+
+        workers = min(os.cpu_count() or 1, 8)
+        if (
+            len(jobs) >= 64
+            and workers > 1
+            and sys.platform.startswith("linux")
+            and os.environ.get("RAVEN_TPU_NO_MP") != "1"
+        ):
+            import multiprocessing as mp
+
+            global _POA_JOBS, _POA_SELF
+            _POA_JOBS = jobs
+            _POA_SELF = self
+            try:
+                ctx = mp.get_context("fork")
+                with ctx.Pool(workers) as pool:
+                    chunk = max(1, len(jobs) // (workers * 4))
+                    return pool.map(_poa_pool_worker, range(len(jobs)), chunk)
+            finally:
+                _POA_JOBS = None
+                _POA_SELF = None
+        return [run_one(j) for j in jobs]
