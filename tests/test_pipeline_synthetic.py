@@ -111,3 +111,21 @@ def test_repeat_regions_detected(rng):
     assert piles.is_repetitive.any(), "no repetitive piles flagged"
     assemble(graph)  # must terminate and leave a sane graph
     assert any(n is not None for n in graph.nodes)
+
+
+def test_nondefault_kmer_window(rng):
+    """The pipeline honours -k/-w (no hard-coded 15/5 anywhere hot)."""
+    genome = random_genome(rng, 20000)
+    reads, _ = sample_reads(rng, genome, 150, 3000, error=0.03)
+    rs = ReadSet.from_sequences(reads)
+    graph = Graph()
+    construct_graph(graph, rs, OverlapPhaseCfg(kmer_len=13, window_len=9))
+    assemble(graph)
+    old = GLOBALS.min_unitig_size
+    GLOBALS.min_unitig_size = 5000
+    try:
+        unitigs = get_unitigs(graph)
+    finally:
+        GLOBALS.min_unitig_size = old
+    main = max(unitigs, key=lambda n: n.length)
+    assert main.length > 0.8 * len(genome)
