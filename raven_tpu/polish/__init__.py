@@ -58,7 +58,7 @@ def polish(graph, readset, cfg: PolishCfg | None = None, checkpoints: bool = Fal
         # hybrid schedule on accelerators: POA rounds for local accuracy,
         # the batched device voting consensus LAST — it recovers the
         # indel-driven length the POA trim gives up (lambda 2-round golden
-        # config: ED 1043 vs 1137 reference raven / 1236 POA-only)
+        # config: ED 1021 vs 1137 reference raven / 1236 POA-only)
         polisher.use_device_consensus = (
             None if graph.stage == cfg.num_rounds - 1 else False
         )

@@ -84,11 +84,9 @@ class Polisher:
         self.mismatch = mismatch
         self.gap = gap
         self.use_device = use_device
-        # consensus backend override: None = follow use_device/auto.
-        # The graph-level driver runs device consensus for all rounds but
-        # the last and finishes with the POA engine — the device pass
-        # recovers indel-driven length fast, the POA pass has the better
-        # local accuracy (lambda: 1163 vs 1236 host-only / 1526 device-only)
+        # consensus backend override: None = follow use_device/auto; the
+        # graph-level driver schedules POA rounds + a device-voting final
+        # round (see raven_tpu.polish.polish)
         self.use_device_consensus: bool | None = None
 
     # ------------------------------------------------------------------
@@ -368,7 +366,7 @@ class Polisher:
                     (backbone, frag_codes, weights)
                     for _, _, backbone, frag_codes, weights in jobs
                 ]
-                return device_window_consensus(windows, iterations=3)
+                return device_window_consensus(windows, iterations=4)
             except Exception:
                 if self.use_device:
                     raise
