@@ -73,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
     from raven_tpu.polish import polish
 
     GLOBALS.min_unitig_size = args.min_unitig_size
+    GLOBALS.num_threads = args.threads  # fork-pool worker count (main.cc:102)
     t_start = time.perf_counter()
 
     graph = Graph()

@@ -62,6 +62,19 @@ MIN_UNITIG_SIZE_DEFAULT = 9999
 
 class _Globals:
     min_unitig_size: int = MIN_UNITIG_SIZE_DEFAULT
+    # host worker-process count for the fork pools (the analog of the
+    # reference's `-t/--threads` ThreadPool size, main.cc:102-104);
+    # None = auto (min(cpu, 8))
+    num_threads: int | None = None
 
 
 GLOBALS = _Globals()
+
+
+def worker_count() -> int:
+    """Fork-pool worker count: `-t` when given, else min(cpu, 8)."""
+    import os
+
+    if GLOBALS.num_threads is not None:
+        return max(1, int(GLOBALS.num_threads))
+    return min(os.cpu_count() or 1, 8)

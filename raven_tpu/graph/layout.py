@@ -2,8 +2,7 @@
 
 Reference: CreateForceDirectedLayout (RavenLib/src/assemble.cc:357-698),
 which uses a Barnes-Hut quadtree over a thread pool.  The TPU-native
-re-design computes the exact dense O(n^2) repulsion as batched array ops
-(device-dispatchable via raven_tpu.ops.layout_step; numpy on host) — on
+re-design computes the exact dense O(n^2) repulsion as batched array ops — on
 accelerators the dense form is faster than tree traversal for the component
 sizes seen after CreateUnitigs(42), and it is exact rather than approximated.
 

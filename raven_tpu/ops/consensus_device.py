@@ -24,6 +24,9 @@ try:
     import jax
     import jax.numpy as jnp
 
+    from raven_tpu.utils.jaxcfg import ensure_jax_cache
+
+    ensure_jax_cache()  # persistent compile cache (jax may be preloaded)
     HAS_JAX = True
 except Exception:  # pragma: no cover
     HAS_JAX = False
@@ -33,8 +36,8 @@ NEG = -(1 << 20)
 
 if HAS_JAX:
 
-    @functools.partial(jax.jit, static_argnames=("T", "Q"))
-    def nw_moves_kernel(cons, t_lens, frags, q_lens, T: int, Q: int):
+    @functools.partial(jax.jit, static_argnames=("T", "Q", "band"))
+    def nw_moves_kernel(cons, t_lens, frags, q_lens, T: int, Q: int, band: int = 0):
         """Fragment-global / consensus-infix alignment.
 
         The fragment is consumed fully; the consensus start and end are
@@ -76,6 +79,15 @@ if HAS_JAX:
             left = closed > cur
             cur = jnp.where(left, closed, cur)
             mrow = jnp.where(left, jnp.int8(2), mrow)
+            if band > 0:
+                # banded alignment (reference cuda_banded_alignment analog,
+                # polish.cc:48): restrict each row to a corridor around the
+                # proportional diagonal; column 0 stays alive for the free
+                # consensus prefix
+                center = ((r + 1) * q_lens) // jnp.maximum(t_lens, 1)
+                in_band = jnp.abs(idx[None, :] - center[:, None]) <= band
+                in_band = in_band | (idx[None, :] == 0)
+                cur = jnp.where(in_band, cur, NEG)
             cur = jnp.where(in_t, cur, prev)
             mrow = jnp.where(in_t, mrow, jnp.int8(3))  # 3 = inactive
             cur = jnp.where(q_ok_all, cur, NEG)
@@ -217,6 +229,7 @@ def device_window_consensus(
     t_pad: int = 640,
     q_pad: int = 768,
     chunk: int = 2048,
+    banded: bool = False,
 ) -> list[np.ndarray]:
     """Batched consensus for many windows at once.
 
@@ -291,6 +304,7 @@ def device_window_consensus(
             moves, end_scores, row0_score = nw_moves_kernel(
                 jnp.asarray(cw), jnp.asarray(cwl), jnp.asarray(fr),
                 jnp.asarray(ql), t_pad, q_pad,
+                band=max(128, q_pad // 6) if banded else 0,
             )
             pt, pq, pmv = traceback_kernel(
                 moves, end_scores, row0_score, jnp.asarray(ql),

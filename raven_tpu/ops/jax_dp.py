@@ -22,6 +22,9 @@ try:
     import jax
     import jax.numpy as jnp
 
+    from raven_tpu.utils.jaxcfg import ensure_jax_cache
+
+    ensure_jax_cache()  # persistent compile cache (jax may be preloaded)
     HAS_JAX = True
 except Exception:  # pragma: no cover
     HAS_JAX = False
@@ -92,27 +95,35 @@ def infix_align_device(
     queries: np.ndarray,
     q_lens: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """JAX-backed batched_infix_align; pads shapes to stable buckets to
-    bound recompilation."""
-    B, T0 = targets.shape
+    """JAX-backed batched_infix_align; pads ALL shapes (batch included) to
+    stable buckets to bound recompilation — each distinct shape is a full
+    XLA compile, which dominates wall-time on remote-attached devices."""
+    B0, T0 = targets.shape
     Q0 = queries.shape[1]
     # coarse, stable buckets: one compilation covers a whole polishing run
     T = 512 if T0 <= 512 else _round_up(T0, 512)
     Q = 1024 if Q0 <= 1024 else _round_up(Q0, 512)
+    B = 1024
+    while B < B0:
+        B *= 2  # power-of-two buckets: at most log2 distinct compiles
     tg = np.zeros((B, T), dtype=np.int32)
-    tg[:, :T0] = targets
+    tg[:B0, :T0] = targets
     qr = np.full((B, Q), -1, dtype=np.int32)  # pad char never matches
-    qr[:, :Q0] = queries
+    qr[:B0, :Q0] = queries
+    tl = np.zeros(B, dtype=np.int32)
+    tl[:B0] = t_lens
+    ql = np.zeros(B, dtype=np.int32)
+    ql[:B0] = q_lens
     dist, q_start, q_end = _infix_scan(
         jnp.asarray(tg),
-        jnp.asarray(t_lens.astype(np.int32)),
+        jnp.asarray(tl),
         jnp.asarray(qr),
-        jnp.asarray(q_lens.astype(np.int32)),
+        jnp.asarray(ql),
         T,
         Q,
     )
     return (
-        np.asarray(dist, dtype=np.int64),
-        np.asarray(q_start, dtype=np.int64),
-        np.asarray(q_end, dtype=np.int64),
+        np.asarray(dist, dtype=np.int64)[:B0],
+        np.asarray(q_start, dtype=np.int64)[:B0],
+        np.asarray(q_end, dtype=np.int64)[:B0],
     )

@@ -2,9 +2,9 @@
 
 The hot path is the native C++ engine (raven_tpu/native/poa.cc); a
 pure-python implementation of the same algorithm serves as a cross-check
-oracle and toolchain-free fallback.  A batched on-device POA kernel lives in
-raven_tpu.ops.jax_poa (flagship device kernel, replaces the reference's
-CUDA POA path in the racon dependency).
+oracle and toolchain-free fallback.  The batched on-device consensus kernel
+(replacing the reference's CUDA POA path in the racon dependency) lives in
+raven_tpu.ops.consensus_device.
 """
 
 from __future__ import annotations

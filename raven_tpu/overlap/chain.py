@@ -14,9 +14,9 @@ Semantics follow the minimap/ram family:
     either sequence, and sub-chains shorter than MIN_MATCHES anchors or
     MIN_SPAN bases are dropped.
 
-A batched O(n^2) masked-DP version of the monotonic-subsequence step runs on
-device (raven_tpu.ops.chain_dp) for large anchor sets; this module is the
-host orchestration + numpy/bisect reference.
+The monotonic-subsequence step dispatches to the native C++ engine
+(raven_tpu/native/chain.cc) for large anchor sets; this module is the host
+orchestration + numpy/bisect reference.
 """
 
 from __future__ import annotations

@@ -2,8 +2,9 @@
 
 TPU-native replacement for the `ram` dependency's MinimizerEngine::Minimize
 (use sites: reference construct.cc:42,363; assemble.cc:754,777).  The device
-(JAX/Pallas) implementation in raven_tpu.ops.minimizer computes the same
-sketch; this numpy version is the correctness oracle and the small-input path.
+(JAX/Pallas) implementations in raven_tpu.ops.sketch and
+raven_tpu.ops.pallas_sketch compute the same sketch (bit-parity tested);
+this numpy version is the correctness oracle and the small-input path.
 
 Definitions
 -----------
@@ -161,8 +162,10 @@ def minimize_reads(
     import os
     import sys
 
+    from raven_tpu.config import worker_count
+
     total = int(readset.lengths[np.asarray(ids, dtype=np.int64)].sum()) if len(ids) else 0
-    workers = min(os.cpu_count() or 1, 8)
+    workers = worker_count()
     if (
         total >= 16_000_000
         and workers > 1

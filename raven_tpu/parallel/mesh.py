@@ -7,6 +7,9 @@ import numpy as np
 try:
     import jax
 
+    from raven_tpu.utils.jaxcfg import ensure_jax_cache
+
+    ensure_jax_cache()  # persistent compile cache (jax may be preloaded)
     HAS_JAX = True
 except Exception:  # pragma: no cover
     HAS_JAX = False

@@ -22,6 +22,9 @@ try:
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+    from raven_tpu.utils.jaxcfg import ensure_jax_cache
+
+    ensure_jax_cache()  # persistent compile cache (jax may be preloaded)
     HAS_JAX = True
 except Exception:  # pragma: no cover
     HAS_JAX = False

@@ -3,8 +3,7 @@
 Struct-of-arrays re-design of the reference Pile (RavenLib/src/pile.cc,
 include/raven/pile.h).  All reads' coverage data live in one flat uint16
 array (like ReadSet), so the hot operations — layer accumulation and the
-sliding-window slope sweep — are vectorized over every read at once
-(and can be dispatched to the device, raven_tpu.ops.pileops); the small
+sliding-window slope sweep — are vectorized over every read at once; the small
 per-read region logic (chimera/repeat classification) follows the reference
 control flow exactly, constants included (see SURVEY.md §2.3).
 

@@ -48,6 +48,7 @@ def polish(graph, readset, cfg: PolishCfg | None = None, checkpoints: bool = Fal
         match=cfg.align_cfg.match,
         mismatch=cfg.align_cfg.mismatch,
         gap=cfg.align_cfg.gap,
+        device_cfg=cfg.device_cfg,
     )
 
     # targets: (name-with-tags, codes), parallel node list

@@ -75,6 +75,7 @@ class Polisher:
         mismatch: int = -5,
         gap: int = -4,
         use_device: bool | None = None,
+        device_cfg=None,
     ):
         self.quality_threshold = quality_threshold
         self.error_threshold = error_threshold
@@ -84,6 +85,12 @@ class Polisher:
         self.mismatch = mismatch
         self.gap = gap
         self.use_device = use_device
+        # DeviceCfg (reference CudaCfg analog, polish.hpp:19-23):
+        # poa_batches > 0 forces the batched device consensus (chunk size
+        # poa_batches * 256 fragment rows per dispatch), alignment_batches
+        # > 0 forces the device window-placement DP, banded_alignment
+        # restricts the consensus NW to a diagonal corridor
+        self.device_cfg = device_cfg
         # consensus backend override: None = follow use_device/auto; the
         # graph-level driver schedules POA rounds + a device-voting final
         # round (see raven_tpu.polish.polish)
@@ -94,6 +101,8 @@ class Polisher:
         """Dispatch the window-placement DP to the device (JAX) when
         available, else the numpy reference."""
         use_dev = self.use_device
+        if self.device_cfg is not None and self.device_cfg.alignment_batches > 0:
+            use_dev = True
         if use_dev is None:
             # default: device path only on an actual accelerator — the CPU
             # XLA backend loses to the numpy prefix-trick implementation
@@ -347,6 +356,9 @@ class Polisher:
         accelerator (the reference's CUDA-POA analog), C++/python POA on
         host."""
         use_dev = self.use_device_consensus
+        dc = self.device_cfg
+        if dc is not None and dc.poa_batches > 0:
+            use_dev = True
         if use_dev is None:
             use_dev = self.use_device
         if use_dev is None:
@@ -366,9 +378,21 @@ class Polisher:
                     (backbone, frag_codes, weights)
                     for _, _, backbone, frag_codes, weights in jobs
                 ]
-                return device_window_consensus(windows, iterations=4)
+                kwargs = {}
+                if dc is not None and dc.poa_batches > 0:
+                    kwargs["chunk"] = 256 * dc.poa_batches
+                if dc is not None and dc.banded_alignment:
+                    kwargs["banded"] = True
+                print(
+                    f"[raven_tpu::Polisher] device consensus "
+                    f"{len(windows)} windows {kwargs}",
+                    file=sys.stderr,
+                )
+                return device_window_consensus(
+                    windows, iterations=4, **kwargs
+                )
             except Exception:
-                if self.use_device:
+                if self.use_device or (dc is not None and dc.poa_batches > 0):
                     raise
         return self._run_poa_host(jobs)
 
@@ -391,7 +415,9 @@ class Polisher:
                 self.trim,
             )
 
-        workers = min(os.cpu_count() or 1, 8)
+        from raven_tpu.config import worker_count
+
+        workers = worker_count()
         if (
             len(jobs) >= 64
             and workers > 1

@@ -92,3 +92,22 @@ def test_partial_fragments_do_not_erode_window(rng):
         [(bb, frags, None)], iterations=2, t_pad=384, q_pad=512, chunk=8
     )
     assert np.array_equal(out[0], truth)
+
+
+def test_banded_consensus_matches_full(rng):
+    """A generous band must not change results on well-behaved windows
+    (banded path = --device-banded-alignment, reference polish.cc:48)."""
+    windows = []
+    for _ in range(3):
+        truth = rng.integers(0, 4, 300).astype(np.uint8)
+        bb = mutate(rng, truth, 0.03, 0.03, 0.03)
+        frags = [mutate(rng, truth, 0.03, 0.03, 0.03) for _ in range(10)]
+        windows.append((bb, frags, None))
+    full = device_window_consensus(
+        windows, iterations=2, t_pad=384, q_pad=512, chunk=32
+    )
+    banded = device_window_consensus(
+        windows, iterations=2, t_pad=384, q_pad=512, chunk=32, banded=True
+    )
+    for a, b in zip(full, banded):
+        assert np.array_equal(a, b)

@@ -82,3 +82,44 @@ def test_polish_include_unpolished(setup, rng):
     results = p.polish([("Ctg2", junk)], rs, include_unpolished=True)
     assert len(results) == 1
     assert results[0][0].endswith("0.000000")
+
+
+def test_device_cfg_knobs_consumed(setup, monkeypatch):
+    """DeviceCfg knobs must actually change the consensus dispatch
+    (reference CUDA knobs at main.cc:83-93 are functional likewise)."""
+    from raven_tpu.config import DeviceCfg
+
+    genome, rs, draft = setup
+    calls = {}
+
+    def fake_device_consensus(windows, iterations=2, **kwargs):
+        calls["kwargs"] = kwargs
+        from raven_tpu.ops.poa import poa_consensus
+
+        return [poa_consensus(b, f, w, 3, -5, -4, True) for b, f, w in windows]
+
+    import raven_tpu.ops.consensus_device as cd
+
+    monkeypatch.setattr(cd, "device_window_consensus", fake_device_consensus)
+    p = Polisher(device_cfg=DeviceCfg(poa_batches=2, banded_alignment=True))
+    p.use_device = False  # would normally skip the device path on CPU...
+    p.use_device_consensus = False
+    res = p.polish([("Ctg0", draft)], rs)
+    # ...but poa_batches > 0 forces it, with chunk and band wired through
+    assert calls["kwargs"] == {"chunk": 512, "banded": True}
+    assert len(res) == 1
+
+
+def test_threads_flag_controls_worker_count():
+    from raven_tpu.config import GLOBALS, worker_count
+
+    old = GLOBALS.num_threads
+    try:
+        GLOBALS.num_threads = 3
+        assert worker_count() == 3
+        GLOBALS.num_threads = None
+        import os
+
+        assert worker_count() == min(os.cpu_count() or 1, 8)
+    finally:
+        GLOBALS.num_threads = old
