@@ -395,18 +395,35 @@ def assemble(graph: Graph, checkpoints: bool = False) -> None:
             store_graph(graph)
             _log("reached checkpoint", t0)
 
+    from raven_tpu.utils import stagedump
+
     if graph.stage == -3:
         remove_transitive_edges(graph)
+        if stagedump.enabled():
+            stagedump.dump(
+                "assemble/remove_transitive_edges",
+                **stagedump.graph_stats(graph),
+            )
         graph.stage += 1
         checkpoint()
 
     if graph.stage == -2:
         remove_tips_and_bubbles(graph)
+        if stagedump.enabled():
+            stagedump.dump(
+                "assemble/remove_tips_and_bubbles",
+                **stagedump.graph_stats(graph),
+            )
         graph.stage += 1
         checkpoint()
 
     if graph.stage == -1:
         remove_long_edges_stage(graph)
+        if stagedump.enabled():
+            stagedump.dump(
+                "assemble/remove_long_edges",
+                **stagedump.graph_stats(graph),
+            )
         graph.stage += 1
         checkpoint()
 

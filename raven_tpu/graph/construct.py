@@ -21,6 +21,7 @@ from raven_tpu.graph.graph import Graph
 from raven_tpu.overlap.engine import MinimizerIndex
 from raven_tpu.overlap.types import OVERLAP_DTYPE, overlap_length, overlap_reverse
 from raven_tpu.pile.pile import Piles
+from raven_tpu.utils import stagedump
 
 INDEX_BATCH_BYTES = 1 << 32  # construct.cc:35
 MAP_BATCH_BYTES = 1 << 30  # construct.cc:67
@@ -449,9 +450,32 @@ def construct_graph(
             np.zeros(0, dtype=OVERLAP_DTYPE) for _ in range(len(readset))
         ]
         find_overlaps_and_create_piles(index, readset, cfg, piles, overlaps)
+        if stagedump.enabled():
+            stagedump.dump(
+                "construct/find_overlaps_and_create_piles",
+                **stagedump.pile_stats(piles),
+                **stagedump.overlap_stats(overlaps),
+            )
         trim_and_annotate_piles(piles, overlaps)
+        if stagedump.enabled():
+            stagedump.dump(
+                "construct/trim_and_annotate_piles",
+                **stagedump.pile_stats(piles),
+                **stagedump.overlap_stats(overlaps),
+            )
         resolve_contained_reads(piles, overlaps, readset, cfg.identity)
+        if stagedump.enabled():
+            stagedump.dump(
+                "construct/resolve_contained_reads",
+                **stagedump.pile_stats(piles),
+                **stagedump.overlap_stats(overlaps),
+            )
         resolve_chimeric_sequences(piles, overlaps)
+        if stagedump.enabled():
+            stagedump.dump(
+                "construct/resolve_chimeric_sequences",
+                **stagedump.pile_stats(piles),
+            )
         graph.stage += 1
         if checkpoints:
             from raven_tpu.graph.binary import store_graph
@@ -465,10 +489,26 @@ def construct_graph(
         all_overlaps = find_overlaps_and_repetitive_regions(
             index, readset, cfg, piles
         )
+        if stagedump.enabled():
+            stagedump.dump(
+                "construct/find_overlaps_and_repetitive_regions",
+                **stagedump.pile_stats(piles),
+                **stagedump.overlap_stats(all_overlaps),
+            )
         all_overlaps = resolve_repeat_induced_overlaps(
             piles, all_overlaps, readset
         )
+        if stagedump.enabled():
+            stagedump.dump(
+                "construct/resolve_repeat_induced_overlaps",
+                **stagedump.overlap_stats(all_overlaps),
+            )
         construct_assembly_graph(graph, piles, all_overlaps, readset)
+        if stagedump.enabled():
+            stagedump.dump(
+                "construct/construct_assembly_graph",
+                **stagedump.graph_stats(graph),
+            )
         graph.stage += 1
         if checkpoints:
             from raven_tpu.graph.binary import store_graph

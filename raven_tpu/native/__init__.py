@@ -46,7 +46,7 @@ def get_lib() -> CDLL | None:
     if not os.path.exists(so_path) or os.path.getmtime(so_path) < newest_src:
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            *srcs, "-o", so_path, "-lz",
+            "-pthread", *srcs, "-o", so_path, "-lz",
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=300)

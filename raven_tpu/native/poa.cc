@@ -185,6 +185,13 @@ long long raven_poa_consensus(const std::uint8_t* backbone, long long blen,
       } else {
         for (auto eid : node.in_edges) consider_pred(rank[g.edges[eid].tail]);
       }
+      // free start at any node (graph-local alignment, like the window
+      // fragments racon feeds spoa: a fragment covering only part of the
+      // window must not pay for the uncovered graph prefix)
+      if (row[0] < 0) {
+        row[0] = 0;
+        mrow[0] = 3;  // traceback stop marker
+      }
       // left (fragment consumes, graph stays)
       for (long long j = 1; j <= m; ++j) {
         std::int32_t v = row[j - 1] + gap;
@@ -222,6 +229,9 @@ long long raven_poa_consensus(const std::uint8_t* backbone, long long blen,
       }
       const std::size_t idx = static_cast<std::size_t>(r + 1) * stride + j;
       const std::int8_t mv = move[idx];
+      if (mv == 3) {
+        break;  // free-start marker: the alignment begins at this node
+      }
       if (mv == 0) {
         path.emplace_back(g.topo[r], j - 1);
         r = from[idx];

@@ -128,6 +128,153 @@ def batched_infix_align(
     return res_v[rows, q_end], res_s[rows, q_end], q_end
 
 
+def batched_forward_rows(
+    targets: np.ndarray,
+    queries: np.ndarray,
+    rows_needed: np.ndarray,
+) -> np.ndarray:
+    """Global edit-distance DP, capturing row `rows_needed[b]` per job.
+
+    targets: [B, T] uint8 (row r consumed at step r); queries: [B, Q]
+    uint8 padded with a never-matching byte.  Returns [B, Q + 1] int32 —
+    the DP row after consuming rows_needed[b] target characters, where
+    D[0] = iota (global start at (0, 0)).
+    """
+    B, T = targets.shape
+    Q = queries.shape[1]
+    idx = np.arange(Q + 1, dtype=np.int32)
+    prev = np.broadcast_to(idx, (B, Q + 1)).astype(np.int32).copy()
+    out = np.empty((B, Q + 1), dtype=np.int32)
+    hit = rows_needed == 0
+    if hit.any():
+        out[hit] = prev[hit]
+    for r in range(int(rows_needed.max(initial=0))):
+        sub = prev[:, :-1] + (queries[:, :Q] != targets[:, r : r + 1])
+        e = np.empty((B, Q + 1), dtype=np.int32)
+        e[:, 0] = r + 1
+        e[:, 1:] = np.minimum(sub, prev[:, 1:] + 1)
+        prev = np.minimum.accumulate(e - idx, axis=1) + idx
+        hit = rows_needed == r + 1
+        if hit.any():
+            out[hit] = prev[hit]
+    return out
+
+
+def batched_boundary_crossings(
+    targets: np.ndarray,
+    t_lens: np.ndarray,
+    queries: np.ndarray,
+    q_lens: np.ndarray,
+    crosses: np.ndarray,
+) -> np.ndarray:
+    """Exact alignment-path crossings (racon break-point analog).
+
+    For each job b, the optimal global alignment of
+    targets[b, :t_lens[b]] vs queries[b, :q_lens[b]] crosses target row
+    crosses[b] at some query column j: returns that j (the split
+    minimizing forward + backward cost; ties resolve to the smallest j).
+    This needs only two DP row sweeps — no traceback matrix — so jobs
+    batch rectangularly (the reference's racon walks a full edlib path
+    per overlap instead).
+    """
+    B, T = targets.shape
+    Q = queries.shape[1]
+    idx = np.arange(Q + 1, dtype=np.int32)
+    fwd = batched_forward_rows(targets, queries, crosses)
+
+    # backward: reverse target/query within their lengths
+    rt = np.full_like(targets, 255)
+    rq = np.full_like(queries, 254)  # distinct pads never match each other
+    rows = np.arange(B)
+    for b in range(B):  # cheap relative to the DP sweeps
+        tl, ql = int(t_lens[b]), int(q_lens[b])
+        rt[b, :tl] = targets[b, :tl][::-1]
+        rq[b, :ql] = queries[b, :ql][::-1]
+    bwd = batched_forward_rows(rt, rq, t_lens - crosses)
+
+    # align: total[j] = fwd[j] + bwd[q_len - j]
+    j2 = q_lens[:, None].astype(np.int64) - idx[None, :]
+    valid = j2 >= 0
+    j2 = np.clip(j2, 0, Q)
+    total = np.where(valid, fwd + bwd[rows[:, None], j2], BIG)
+    return np.argmin(total, axis=1).astype(np.int64)  # ties -> smallest j
+
+
+_CROSS_FN = None
+_CROSS_TRIED = False
+
+
+def _native_cross():
+    global _CROSS_FN, _CROSS_TRIED
+    if _CROSS_FN is not None or _CROSS_TRIED:
+        return _CROSS_FN
+    _CROSS_TRIED = True
+    import ctypes
+
+    from raven_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    fn = lib.raven_boundary_crossings
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_longlong)
+    fn.restype = None
+    fn.argtypes = [
+        u8p, i64p, i64p, u8p, i64p, i64p, i64p,
+        ctypes.c_longlong, ctypes.c_int, i64p,
+    ]
+    _CROSS_FN = fn
+    return fn
+
+
+def native_boundary_crossings(
+    targets: np.ndarray,
+    t_lens: np.ndarray,
+    queries: np.ndarray,
+    q_lens: np.ndarray,
+    crosses: np.ndarray,
+) -> np.ndarray | None:
+    """C++ threaded batched_boundary_crossings; None without a toolchain."""
+    fn = _native_cross()
+    if fn is None:
+        return None
+    import ctypes
+
+    from raven_tpu.config import worker_count
+
+    B = targets.shape[0]
+    t_lens = np.ascontiguousarray(t_lens, dtype=np.int64)
+    q_lens = np.ascontiguousarray(q_lens, dtype=np.int64)
+    crosses = np.ascontiguousarray(crosses, dtype=np.int64)
+    # pack rows end to end (rows may be padded; copy only the live parts)
+    t_off = np.zeros(B, dtype=np.int64)
+    np.cumsum(t_lens[:-1], out=t_off[1:])
+    q_off = np.zeros(B, dtype=np.int64)
+    np.cumsum(q_lens[:-1], out=q_off[1:])
+    tgt_flat = np.empty(int(t_lens.sum()), dtype=np.uint8)
+    qry_flat = np.empty(int(q_lens.sum()), dtype=np.uint8)
+    for b in range(B):
+        tgt_flat[t_off[b] : t_off[b] + t_lens[b]] = targets[b, : t_lens[b]]
+        qry_flat[q_off[b] : q_off[b] + q_lens[b]] = queries[b, : q_lens[b]]
+    out = np.zeros(B, dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_longlong)
+    fn(
+        tgt_flat.ctypes.data_as(u8p),
+        t_off.ctypes.data_as(i64p),
+        t_lens.ctypes.data_as(i64p),
+        qry_flat.ctypes.data_as(u8p),
+        q_off.ctypes.data_as(i64p),
+        q_lens.ctypes.data_as(i64p),
+        crosses.ctypes.data_as(i64p),
+        B,
+        worker_count(),
+        out.ctypes.data_as(i64p),
+    )
+    return out
+
+
 def find_window_breakpoints(
     query: np.ndarray,
     target: np.ndarray,

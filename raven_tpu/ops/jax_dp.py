@@ -89,6 +89,91 @@ if HAS_JAX:
         return res_v[rows, q_end], res_s[rows, q_end], q_end
 
 
+if HAS_JAX:
+
+    @functools.partial(jax.jit, static_argnames=("T", "Q"))
+    def _rows_scan(tg, qr, rows_needed, T: int, Q: int):
+        """Device twin of align_dp.batched_forward_rows: global
+        edit-distance DP over a [B, Q+1] front, capturing the row after
+        rows_needed[b] target characters."""
+        B = tg.shape[0]
+        idx = jnp.arange(Q + 1, dtype=jnp.int32)
+        prev0 = jnp.broadcast_to(idx, (B, Q + 1)).astype(jnp.int32)
+        out0 = prev0
+
+        def step(carry, r):
+            prev, out = carry
+            tchar = jax.lax.dynamic_slice_in_dim(tg, r, 1, axis=1)  # [B,1]
+            sub = prev[:, :-1] + jnp.where(qr != tchar, 1, 0)
+            e = jnp.minimum(sub, prev[:, 1:] + 1)
+            cur = jnp.concatenate(
+                [jnp.full((B, 1), r + 1, jnp.int32), e], axis=1
+            )
+            cur = jax.lax.associative_scan(jnp.minimum, cur - idx, axis=1) + idx
+            out = jnp.where((rows_needed == r + 1)[:, None], cur, out)
+            return (cur, out), None
+
+        (_, out), _ = jax.lax.scan(
+            step, (prev0, out0), jnp.arange(T, dtype=jnp.int32)
+        )
+        return out
+
+
+def _pow2(x: int, floor: int) -> int:
+    b = floor
+    while b < x:
+        b *= 2
+    return b
+
+
+def boundary_crossings_device(
+    targets: np.ndarray,
+    t_lens: np.ndarray,
+    queries: np.ndarray,
+    q_lens: np.ndarray,
+    crosses: np.ndarray,
+) -> np.ndarray:
+    """JAX-backed align_dp.batched_boundary_crossings (same contract).
+
+    Two _rows_scan sweeps (forward + on reversed sequences) and a host
+    combine; every shape is padded to power-of-two buckets so a polishing
+    run reuses a handful of compiled programs.
+    """
+    B0, T0 = targets.shape
+    Q0 = queries.shape[1]
+    T = _pow2(max(T0, 1), 64)
+    Q = _pow2(max(Q0, 1), 64)
+    B = _pow2(B0, 256)
+    tg = np.full((B, T), 250, dtype=np.uint8)
+    tg[:B0, :T0] = targets
+    qr = np.full((B, Q), 251, dtype=np.uint8)
+    qr[:B0, :Q0] = queries
+    rt = np.full((B, T), 250, dtype=np.uint8)
+    rq = np.full((B, Q), 251, dtype=np.uint8)
+    for b in range(B0):
+        tl, ql = int(t_lens[b]), int(q_lens[b])
+        rt[b, :tl] = targets[b, :tl][::-1]
+        rq[b, :ql] = queries[b, :ql][::-1]
+    cr = np.zeros(B, dtype=np.int32)
+    cr[:B0] = crosses
+    bk = np.zeros(B, dtype=np.int32)
+    bk[:B0] = t_lens - crosses
+    fwd = np.asarray(
+        _rows_scan(jnp.asarray(tg), jnp.asarray(qr), jnp.asarray(cr), T, Q)
+    )[:B0]
+    bwd = np.asarray(
+        _rows_scan(jnp.asarray(rt), jnp.asarray(rq), jnp.asarray(bk), T, Q)
+    )[:B0]
+    idx = np.arange(Q + 1, dtype=np.int64)
+    j2 = q_lens[:, None].astype(np.int64) - idx[None, :]
+    valid = j2 >= 0
+    j2 = np.clip(j2, 0, Q)
+    total = np.where(
+        valid, fwd + bwd[np.arange(B0)[:, None], j2], np.int32(1 << 20)
+    )
+    return np.argmin(total, axis=1).astype(np.int64)
+
+
 def infix_align_device(
     targets: np.ndarray,
     t_lens: np.ndarray,

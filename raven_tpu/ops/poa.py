@@ -196,6 +196,11 @@ def poa_consensus_py(
                 row[1:][better] = diag[better]
                 mv[r + 1, 1:][better] = 0
                 frm[r + 1, 1:][better] = pr
+            # free start at any node (graph-local alignment; matches the
+            # native engine's window-fragment semantics)
+            if row[0] < 0:
+                row[0] = 0
+                mv[r + 1, 0] = 3
             # left closure (sequential max with gap) via prefix-max trick
             idx = np.arange(m + 1, dtype=np.int64)
             closed = np.maximum.accumulate(row - idx * gap) + idx * gap
@@ -212,6 +217,8 @@ def poa_consensus_py(
                 j -= 1
                 continue
             mvv = mv[r + 1, j]
+            if mvv == 3:
+                break  # free-start marker
             if mvv == 0:
                 path.append((order[r], j - 1))
                 r = int(frm[r + 1, j])

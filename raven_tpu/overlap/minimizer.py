@@ -166,11 +166,14 @@ def minimize_reads(
 
     total = int(readset.lengths[np.asarray(ids, dtype=np.int64)].sum()) if len(ids) else 0
     workers = worker_count()
+    from raven_tpu.utils.jaxcfg import jax_initialized
+
     if (
         total >= 16_000_000
         and workers > 1
         and sys.platform.startswith("linux")
         and os.environ.get("RAVEN_TPU_NO_MP") != "1"
+        and not jax_initialized()  # fork after jax init can deadlock
     ):
         import multiprocessing as mp
 

@@ -86,6 +86,19 @@ def polish(graph, readset, cfg: PolishCfg | None = None, checkpoints: bool = Fal
         targets = new_targets
         nodes = new_nodes
 
+        from raven_tpu.utils import stagedump
+
+        if stagedump.enabled():
+            stagedump.dump(
+                f"polish/round_{graph.stage}",
+                n_targets=len(new_targets),
+                contig_lengths=sorted(int(c.size) for _, c in new_targets),
+                codes_hash=stagedump._hash_array(
+                    np.concatenate([c for _, c in new_targets])
+                    if new_targets
+                    else np.zeros(0, np.uint8)
+                ),
+            )
         graph.stage += 1
         if checkpoints:
             from raven_tpu.graph.binary import store_graph

@@ -27,7 +27,7 @@ import numpy as np
 from raven_tpu.io.readset import reverse_complement
 from raven_tpu.overlap.engine import MinimizerIndex
 from raven_tpu.overlap.types import overlap_length
-from raven_tpu.ops.align_dp import batched_infix_align
+from raven_tpu.ops.align_dp import batched_boundary_crossings
 from raven_tpu.ops.poa import poa_consensus
 
 MAP_K = 15  # read->contig mapping k-mer length (racon's ram default)
@@ -41,12 +41,21 @@ _POA_JOBS = None
 _POA_SELF = None
 
 
+def _jax_initialized() -> bool:
+    from raven_tpu.utils.jaxcfg import jax_initialized
+
+    return jax_initialized()
+
+
 def _poa_pool_worker(i):
     _, _, backbone, frag_codes, weights = _POA_JOBS[i]
     s = _POA_SELF
-    return poa_consensus(
-        backbone, frag_codes, weights, s.match, s.mismatch, s.gap, s.trim
-    )
+    cons = backbone
+    for _ in range(max(1, s.consensus_passes)):
+        cons = poa_consensus(
+            cons, frag_codes, weights, s.match, s.mismatch, s.gap, s.trim
+        )
+    return cons
 
 
 class _SeqView:
@@ -76,6 +85,7 @@ class Polisher:
         gap: int = -4,
         use_device: bool | None = None,
         device_cfg=None,
+        consensus_passes: int = 2,
     ):
         self.quality_threshold = quality_threshold
         self.error_threshold = error_threshold
@@ -85,6 +95,12 @@ class Polisher:
         self.mismatch = mismatch
         self.gap = gap
         self.use_device = use_device
+        # within-window iterative refinement: the second POA pass realigns
+        # the fragments against the first pass's consensus as backbone,
+        # which converges the window faster than racon's single pass
+        # (lambda 2-round golden config: ED 1132 vs reference 1137; a third
+        # pass over-refines and regresses)
+        self.consensus_passes = consensus_passes
         # DeviceCfg (reference CudaCfg analog, polish.hpp:19-23):
         # poa_batches > 0 forces the batched device consensus (chunk size
         # poa_batches * 256 fragment rows per dispatch), alignment_batches
@@ -95,37 +111,6 @@ class Polisher:
         # graph-level driver schedules POA rounds + a device-voting final
         # round (see raven_tpu.polish.polish)
         self.use_device_consensus: bool | None = None
-
-    # ------------------------------------------------------------------
-    def _infix_align(self, tgt_arr, t_lens, qry_arr, q_lens):
-        """Dispatch the window-placement DP to the device (JAX) when
-        available, else the numpy reference."""
-        use_dev = self.use_device
-        if self.device_cfg is not None and self.device_cfg.alignment_batches > 0:
-            use_dev = True
-        if use_dev is None:
-            # default: device path only on an actual accelerator — the CPU
-            # XLA backend loses to the numpy prefix-trick implementation
-            try:
-                import jax
-
-                use_dev = jax.default_backend() != "cpu"
-            except Exception:
-                use_dev = False
-        if use_dev:
-            try:
-                from raven_tpu.ops.jax_dp import HAS_JAX, infix_align_device
-
-                if HAS_JAX and tgt_arr.shape[1] + qry_arr.shape[1] < 3500:
-                    _, qs, qe = infix_align_device(
-                        tgt_arr, t_lens, qry_arr, q_lens
-                    )
-                    return qs, qe
-            except Exception:
-                if self.use_device:
-                    raise
-        _, qs, qe = batched_infix_align(tgt_arr, t_lens, qry_arr, q_lens)
-        return qs, qe
 
     # ------------------------------------------------------------------
     def _find_overlaps(self, targets, readset):
@@ -165,21 +150,27 @@ class Polisher:
         return chosen
 
     # ------------------------------------------------------------------
-    def _fragments(self, overlaps, targets, readset):
-        """Window fragments per target via anchor-guided infix alignment.
+    MAX_SEG = 6000  # inter-anchor DP segment cap (beyond: interpolate)
 
-        For every (overlap, target-window) pair, the chain's minimizer
-        anchors interpolate the expected query interval; a batched infix DP
-        (target piece consumed fully, query start/end free within a slack
-        corridor) places it exactly.  Every piece of every overlap aligns
-        independently — one rectangular batch, no sequential chain — which
-        is what makes the device path a single dispatch.
+    def _fragments(self, overlaps, targets, readset):
+        """Window fragments per target via exact alignment break points.
+
+        racon walks one whole-overlap edlib path per read and records where
+        it crosses 500-base target boundaries (the racon dependency's
+        FindBreakPoints); the TPU-native re-design gets the same crossings
+        without any traceback: the chain's minimizer anchors are exact
+        k-matches that pin the optimal path, so a boundary either falls
+        inside an anchor (crossing is immediate) or inside a short
+        inter-anchor segment, where a forward + backward DP row pair gives
+        the optimal split (ops.align_dp.batched_boundary_crossings /
+        ops.jax_dp.boundary_crossings_device).  All segments across all
+        overlaps batch into rectangular sweeps.
 
         Returns {target_id: {window_id: [(win_rel_begin, codes, quals)]}}.
         """
         w = self.window_len
-        jobs = []  # (state_idx, win_id, rel_begin, t0, t1, q_lo, q_hi)
         states = []
+        seg_jobs = []  # (state_idx, bound_idx, t0, t1, q0, q1, cross)
         for o, (aq, at) in overlaps:
             rid = int(o["lhs_id"])
             tid = int(o["rhs_id"])
@@ -198,77 +189,64 @@ class Polisher:
             else:
                 ta = at[::-1].astype(np.int64)
                 qa = (qe - (aq[::-1] + MAP_K)).astype(np.int64)
-            # extend with overlap endpoints for extrapolation
-            ta = np.concatenate([[tb], ta, [te]])
-            qa = np.concatenate([[0], qa, [q.size]])
-            # enforce monotonicity (guard against stray anchors)
+            # the chain is strictly monotonic in both coords; guard anyway
             keep = np.ones(ta.size, dtype=bool)
-            running = -1
-            for idx in range(ta.size):
-                if ta[idx] <= running:
-                    keep[idx] = False
+            run_t = tb - 1
+            run_q = -1
+            for i in range(ta.size):
+                if ta[i] <= run_t or qa[i] <= run_q or qa[i] >= q.size:
+                    keep[i] = False
                 else:
-                    running = ta[idx]
-            ta, qa = ta[keep], np.maximum.accumulate(qa[keep])
+                    run_t, run_q = ta[i], qa[i]
+            ta, qa = ta[keep], qa[keep]
 
+            bounds = np.arange((tb // w + 1) * w, te, w, dtype=np.int64)
+            breaks_q = np.full(bounds.size, -1, dtype=np.int64)
             si = len(states)
-            states.append({"tid": tid, "q": q, "qq": qq})
-            t0 = tb
-            while t0 < te:
-                t1 = min(((t0 // w) + 1) * w, te)
-                piece = t1 - t0
-                q_lo = int(np.interp(t0, ta, qa))
-                q_hi = int(np.interp(t1, ta, qa))
-                slack = 100 + int(0.1 * piece)
-                q_lo = max(0, q_lo - slack)
-                q_hi = min(q.size, q_hi + slack)
-                if q_hi - q_lo >= 1 and piece >= 1:
-                    jobs.append((si, t0 // w, t0 % w, t0, t1, q_lo, q_hi))
-                t0 = t1
+            for bi, W in enumerate(bounds):
+                i = int(np.searchsorted(ta, W, side="right")) - 1
+                if i >= 0 and W - ta[i] <= MAP_K:
+                    breaks_q[bi] = qa[i] + (W - ta[i])
+                    continue
+                # segment between previous pin and the next anchor
+                if i >= 0:
+                    t0, q0 = int(ta[i]) + MAP_K, int(qa[i]) + MAP_K
+                else:
+                    t0, q0 = tb, 0
+                if i + 1 < ta.size:
+                    t1, q1 = int(ta[i + 1]), int(qa[i + 1])
+                else:
+                    t1, q1 = te, q.size
+                t0, q0 = min(t0, t1), min(min(q0, q1), q.size)
+                q1 = min(q1, q.size)
+                cross = int(W) - t0
+                if t1 - t0 > self.MAX_SEG or q1 - q0 > self.MAX_SEG:
+                    frac = cross / max(t1 - t0, 1)
+                    breaks_q[bi] = q0 + int(frac * (q1 - q0))
+                else:
+                    seg_jobs.append((si, bi, t0, t1, q0, q1, cross))
+            states.append(
+                {
+                    "tid": tid,
+                    "q": q,
+                    "qq": qq,
+                    "tb": tb,
+                    "te": te,
+                    "bounds": bounds,
+                    "breaks_q": breaks_q,
+                }
+            )
+
+        self._solve_segments(seg_jobs, states, targets)
 
         out: dict[int, dict[int, list]] = {}
-        if not jobs:
-            return out
-
-        # one rectangular batch over all pieces (chunked to bound memory)
-        CHUNK = 4096
-        for c0 in range(0, len(jobs), CHUNK):
-            chunk = jobs[c0 : c0 + CHUNK]
-            T = max(j[4] - j[3] for j in chunk)
-            Q = max(j[6] - j[5] for j in chunk)
-            B = len(chunk)
-            tgt_arr = np.zeros((B, T), dtype=np.uint8)
-            qry_arr = np.zeros((B, Q), dtype=np.uint8)
-            t_lens = np.zeros(B, dtype=np.int64)
-            q_lens = np.zeros(B, dtype=np.int64)
-            for bi, (si, win_id, rel, t0, t1, q_lo, q_hi) in enumerate(chunk):
-                tgt = targets[states[si]["tid"]][1][t0:t1]
-                qry = states[si]["q"][q_lo:q_hi]
-                tgt_arr[bi, : tgt.size] = tgt
-                qry_arr[bi, : qry.size] = qry
-                t_lens[bi] = tgt.size
-                q_lens[bi] = qry.size
-            q_starts, q_ends = self._infix_align(tgt_arr, t_lens, qry_arr, q_lens)
-            for bi, (si, win_id, rel, t0, t1, q_lo, q_hi) in enumerate(chunk):
-                fb = q_lo + int(q_starts[bi])
-                fe = q_lo + int(q_ends[bi])
-                states[si].setdefault("placed", []).append(
-                    (win_id, rel, fb, fe)
-                )
-
-        # stitch adjacent windows of each read to the midpoint: free-ended
-        # placements clip noisy fragment edges, which would starve support
-        # at window boundaries; contiguous tiling keeps every query base
         for s in states:
-            placed = s.get("placed", [])
-            for a in range(len(placed) - 1):
-                w0, r0, b0, e0 = placed[a]
-                w1, r1, b1, e1 = placed[a + 1]
-                mid = (e0 + b1) // 2
-                mid = max(min(mid, e1), b0)
-                placed[a] = (w0, r0, b0, mid)
-                placed[a + 1] = (w1, r1, mid, e1)
-            for win_id, rel, fb, fe in placed:
+            qn = s["q"].size
+            bq = np.concatenate([[0], s["breaks_q"], [qn]])
+            bq = np.maximum.accumulate(np.clip(bq, 0, qn))
+            bt = np.concatenate([[s["tb"]], s["bounds"], [s["te"]]])
+            for i in range(bt.size - 1):
+                fb, fe = int(bq[i]), int(bq[i + 1])
                 if fe - fb < MIN_FRAGMENT:
                     continue
                 quals = s["qq"][fb:fe] if s["qq"].size else None
@@ -278,10 +256,81 @@ class Polisher:
                     and quals.mean() < self.quality_threshold
                 ):
                     continue
+                win_id = int(bt[i]) // w
+                rel = int(bt[i]) % w
                 out.setdefault(s["tid"], {}).setdefault(win_id, []).append(
                     (rel, s["q"][fb:fe], quals)
                 )
         return out
+
+    def _solve_segments(self, seg_jobs, states, targets):
+        """Batch the inter-anchor crossing DPs, bucketed by segment size so
+        device dispatches reuse a handful of compiled shapes."""
+        if not seg_jobs:
+            return
+        BUCKETS = (64, 256, 1024, self.MAX_SEG + 1)
+        by_bucket: dict[int, list] = {}
+        for job in seg_jobs:
+            _, _, t0, t1, q0, q1, _ = job
+            size = max(t1 - t0, q1 - q0)
+            for cap in BUCKETS:
+                if size <= cap:
+                    by_bucket.setdefault(cap, []).append(job)
+                    break
+        for cap, jobs in by_bucket.items():
+            CHUNK = 8192 if cap <= 256 else 1024
+            for c0 in range(0, len(jobs), CHUNK):
+                chunk = jobs[c0 : c0 + CHUNK]
+                B = len(chunk)
+                T = max(j[3] - j[2] for j in chunk)
+                Q = max(1, max(j[5] - j[4] for j in chunk))
+                tg = np.full((B, T), 250, dtype=np.uint8)
+                qr = np.full((B, Q), 251, dtype=np.uint8)
+                tl = np.zeros(B, dtype=np.int64)
+                ql = np.zeros(B, dtype=np.int64)
+                cr = np.zeros(B, dtype=np.int64)
+                for b, (si, bi, t0, t1, q0, q1, cross) in enumerate(chunk):
+                    tgt = targets[states[si]["tid"]][1][t0:t1]
+                    qry = states[si]["q"][q0:q1]
+                    tg[b, : tgt.size] = tgt
+                    qr[b, : qry.size] = qry
+                    tl[b] = tgt.size
+                    ql[b] = qry.size
+                    cr[b] = cross
+                crossings = self._crossings(tg, tl, qr, ql, cr)
+                for b, (si, bi, t0, t1, q0, q1, cross) in enumerate(chunk):
+                    states[si]["breaks_q"][bi] = q0 + int(crossings[b])
+
+    def _crossings(self, tg, tl, qr, ql, cr):
+        """Dispatch the crossing DP to the device when available."""
+        use_dev = self.use_device
+        if self.device_cfg is not None and self.device_cfg.alignment_batches > 0:
+            use_dev = True
+        if use_dev is None:
+            try:
+                import jax
+
+                use_dev = jax.default_backend() != "cpu"
+            except Exception:
+                use_dev = False
+        if use_dev:
+            try:
+                from raven_tpu.ops.jax_dp import (
+                    HAS_JAX,
+                    boundary_crossings_device,
+                )
+
+                if HAS_JAX:
+                    return boundary_crossings_device(tg, tl, qr, ql, cr)
+            except Exception:
+                if self.use_device:
+                    raise
+        from raven_tpu.ops.align_dp import native_boundary_crossings
+
+        out = native_boundary_crossings(tg, tl, qr, ql, cr)
+        if out is not None:
+            return out
+        return batched_boundary_crossings(tg, tl, qr, ql, cr)
 
     # ------------------------------------------------------------------
     def polish(self, targets, readset, include_unpolished: bool = False):
@@ -318,8 +367,10 @@ class Polisher:
                 polished_count += 1
                 frag_codes = [f[1] for f in frags]
                 if all(f[2] is not None for f in frags):
+                    # spoa weight semantics: the raw phred value (racon
+                    # passes quality chars; spoa uses char - 33)
                     weights = [
-                        np.minimum(f[2].astype(np.int64) + 1, 255).astype(
+                        np.minimum(f[2].astype(np.int64), 255).astype(
                             np.uint8
                         )
                         for f in frags
@@ -398,31 +449,49 @@ class Polisher:
 
     def _run_poa_host(self, jobs):
         """C++ POA over all windows; windows are independent, so large
-        batches fan out over a fork pool (the reference's racon runs its
-        windows on a thread pool likewise)."""
+        batches fan out over a thread pool — the ctypes call into the
+        native engine releases the GIL, so threads scale like the
+        reference's racon thread pool.  (A fork pool is unsafe here: jax
+        may already hold locks in background threads.)"""
         import os
         import sys
 
         def run_one(job):
             _, _, backbone, frag_codes, weights = job
-            return poa_consensus(
-                backbone,
-                frag_codes,
-                weights,
-                self.match,
-                self.mismatch,
-                self.gap,
-                self.trim,
-            )
+            cons = backbone
+            for _ in range(max(1, self.consensus_passes)):
+                cons = poa_consensus(
+                    cons,
+                    frag_codes,
+                    weights,
+                    self.match,
+                    self.mismatch,
+                    self.gap,
+                    self.trim,
+                )
+            return cons
 
         from raven_tpu.config import worker_count
+        from raven_tpu.ops.poa import _native_poa
 
         workers = worker_count()
+        use_threads = (
+            len(jobs) >= 64
+            and workers > 1
+            and _native_poa() is not None
+            and os.environ.get("RAVEN_TPU_NO_MP") != "1"
+        )
+        if use_threads:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(workers) as pool:
+                return list(pool.map(run_one, jobs))
         if (
             len(jobs) >= 64
             and workers > 1
             and sys.platform.startswith("linux")
             and os.environ.get("RAVEN_TPU_NO_MP") != "1"
+            and not _jax_initialized()
         ):
             import multiprocessing as mp
 

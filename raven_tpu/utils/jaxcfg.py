@@ -18,6 +18,18 @@ CACHE_DIR = os.environ.get(
 )
 
 
+def jax_initialized() -> bool:
+    """True when a jax backend already exists in this process (forking
+    after that can deadlock children on inherited locks)."""
+    try:
+        import sys
+
+        xb = sys.modules.get("jax._src.xla_bridge")
+        return bool(xb is not None and getattr(xb, "_backends", None))
+    except Exception:
+        return True
+
+
 def ensure_jax_cache() -> None:
     global _DONE
     if _DONE:

@@ -19,7 +19,11 @@ from tests.conftest import requires_lambda
 pytestmark = [requires_lambda, pytest.mark.lambda_e2e]
 
 REFERENCE_GOLDEN_ED = 1137  # raven_test.cpp:66
-ED_CEILING = 1300  # CPU host-only 2-round result is 1236 (reference: 1137)
+# Host-only 2-round result is 1132 — better than the reference golden.  The
+# gate is the reference's own number, so any regression below reference
+# quality fails CI (the pipeline is deterministic; today's exact value is
+# printed by the test and tracked in misc/lambda_eval.py runs).
+ED_CEILING = REFERENCE_GOLDEN_ED
 
 
 def test_lambda_assembly_golden(lambda_reads, lambda_truth):
@@ -47,11 +51,3 @@ def test_lambda_assembly_golden(lambda_reads, lambda_truth):
     print(f"lambda unitig len {u.length}, ED vs truth {ed} "
           f"(reference golden {REFERENCE_GOLDEN_ED})")
     assert ed <= ED_CEILING
-
-
-def test_lambda_hybrid_beats_reference_note():
-    """Documentation assertion: the TPU hybrid schedule (POA rounds +
-    device-voting finish) reaches ED 1043 on this config — better than the
-    reference's 1137.  The full hardware run lives outside CI (tunnel-bound
-    compiles); see NOTES.md 'What works' for the measured numbers."""
-    assert REFERENCE_GOLDEN_ED == 1137
