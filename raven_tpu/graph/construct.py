@@ -66,7 +66,10 @@ def find_overlaps_and_create_piles(
 
         t0 = time.perf_counter()
         index.minimize(
-            readset, np.arange(batch_start, i + 1), minhash=cfg.use_minhash
+            readset,
+            np.arange(batch_start, i + 1),
+            minhash=cfg.use_minhash,
+            with_query_flags=not cfg.use_minhash,  # stage -5 maps minhash=True
         )
         index.filter(cfg.freq)
         _log(f"minimized {batch_start} - {i + 1} / {n}", t0)

@@ -37,6 +37,11 @@ class MinimizerIndex:
         self._uniq_start = np.empty(0, np.int64)
         self._uniq_count = np.empty(0, np.int64)
         self._occurrence = np.iinfo(np.int64).max  # filter threshold
+        self._build_sorted = np.empty(0, np.int64)  # index build id set
+        self._selfjoin_enabled = True  # test hook: False forces legacy join
+        self._minhash = False
+        self._qflag = None  # per-entry minhash-subset membership
+        self._device = None  # DeviceIndex when built on-accelerator
 
     # ------------------------------------------------------------------ build
     # Device sketching transfers the dense sketch back to the host, which
@@ -100,10 +105,28 @@ class MinimizerIndex:
             np.concatenate(ss) if ss else np.empty(0, np.uint8),
         )
 
-    def minimize(self, readset, ids, minhash: bool = False) -> None:
-        """(Re)build the index from the sketches of `ids` (ram Minimize)."""
+    def minimize(
+        self,
+        readset,
+        ids,
+        minhash: bool = False,
+        with_query_flags: bool = False,
+    ) -> None:
+        """(Re)build the index from the sketches of `ids` (ram Minimize).
+
+        with_query_flags: precompute per-entry minhash-subset membership so
+        later map_many(minhash=True) calls can run the self-join fast path
+        without re-sketching (only meaningful when minhash=False here)."""
         ids = np.asarray(ids, dtype=np.int64)
         import os
+
+        self._build_sorted = np.sort(ids)
+        self._minhash = bool(minhash)
+        self._qflag = None
+        self._device = None
+
+        if self._device_build(readset, ids, minhash, with_query_flags):
+            return
 
         result = None
         if (
@@ -118,6 +141,12 @@ class MinimizerIndex:
         else:
             h, i, p, s = minimize_reads(readset, ids, self.k, self.w, minhash)
         order = np.argsort(h, kind="stable")
+        if with_query_flags and not minhash:
+            from raven_tpu.overlap.selfjoin import minhash_flags
+
+            # h/i are read-grouped pre-sort (minimize_reads layout); the
+            # device-sketch result is too (segment emission order)
+            self._qflag = minhash_flags(h, i, readset.lengths, self.k)[order]
         self._hashes = h[order]
         self._ids = i[order]
         self._pos = p[order]
@@ -134,13 +163,75 @@ class MinimizerIndex:
         self._uniq_count = count.astype(np.int64)
         self._occurrence = np.iinfo(np.int64).max
 
+    def _device_build(self, readset, ids, minhash, with_query_flags) -> bool:
+        """Build the index device-resident (TPU production path); returns
+        False to fall through to the host build."""
+        import os
+
+        mode = os.environ.get("RAVEN_TPU_DEVICE_MAP", "auto")
+        if mode == "0":
+            return False
+        if ids.size == 0 or 2 * self.k > 30:
+            return False
+        total = int(readset.lengths[np.asarray(ids, np.int64)].sum())
+        if mode != "1" and total < self.DEVICE_MIN_BASES:
+            return False
+        try:
+            import jax
+
+            if mode != "1" and jax.default_backend() == "cpu":
+                return False
+            from raven_tpu.overlap.device_index import DeviceIndex
+
+            self._device = DeviceIndex.build(
+                readset, ids, self.k, self.w, minhash, with_query_flags
+            )
+        except Exception:
+            if mode == "1":
+                raise
+            self._device = None
+        if self._device is None:
+            return False
+        # host columns are materialized lazily (only non-self-join callers
+        # need them; the construct pipeline never does)
+        self._hashes = None
+        self._ids = None
+        self._pos = None
+        self._strand = None
+        self._qflag = None
+        return True
+
+    def _materialize_host(self) -> None:
+        """Transfer the device-built index into the host columns (fallback
+        for generic map()/lookup callers)."""
+        if self._device is None or self._hashes is not None:
+            return
+        h, i, p, s, f = self._device.to_host()
+        self._hashes, self._ids, self._pos, self._strand = h, i, p, s
+        self._qflag = f
+        if h.size:
+            uniq, start, count = np.unique(
+                h, return_index=True, return_counts=True
+            )
+        else:
+            uniq = np.empty(0, np.uint64)
+            start = count = np.empty(0, np.int64)
+        self._uniq = uniq
+        self._uniq_start = start.astype(np.int64)
+        self._uniq_count = count.astype(np.int64)
+
     @property
     def num_minimizers(self) -> int:
+        if self._device is not None and self._hashes is None:
+            return self._device.n_entries
         return int(self._hashes.size)
 
     def filter(self, frequency: float) -> None:
         """Set the occurrence threshold that ignores the `frequency` fraction
         of most frequent minimizers (ram Filter semantics, construct.cc:44)."""
+        if self._device is not None and self._hashes is None:
+            self._occurrence = self._device.occurrence_for(frequency)
+            return
         if frequency <= 0 or self._uniq_count.size == 0:
             self._occurrence = np.iinfo(np.int64).max
             return
@@ -148,6 +239,80 @@ class MinimizerIndex:
         idx = int((1.0 - frequency) * counts.size)
         idx = min(idx, counts.size - 1)
         self._occurrence = int(counts[idx])
+
+    # -------------------------------------------------------------- self-join
+    def _selfjoin_compatible(
+        self, ids, avoid_equal, avoid_symmetric, minhash
+    ) -> bool:
+        """The construct-phase mapping pattern: queried reads are a
+        contiguous sub-range of the index's own build set, so the join runs
+        entirely within the sorted index (raven_tpu.overlap.selfjoin)."""
+        from raven_tpu.overlap.selfjoin import MAX_OCCURRENCE
+
+        if not (avoid_equal and avoid_symmetric):
+            return False
+        if not self._selfjoin_enabled or self._build_sorted.size == 0:
+            return False
+        # every queried read must have its sketch in the index
+        loc = np.searchsorted(self._build_sorted, ids)
+        if (loc >= self._build_sorted.size).any() or not np.array_equal(
+            self._build_sorted[np.minimum(loc, self._build_sorted.size - 1)],
+            ids,
+        ):
+            return False
+        if minhash != self._minhash:
+            # only "minhash queries against a full index" is joinable, and
+            # it needs the precomputed membership flags
+            if not (minhash and not self._minhash):
+                return False
+            if self._device is None and self._qflag is None:
+                return False
+        occ = self._occurrence
+        if occ > MAX_OCCURRENCE:
+            return False
+        return True
+
+    def _map_many_selfjoin(
+        self, ids, minhash, filtered_out, anchors_out, out
+    ):
+        """Distance-join over the sorted index (host or device); fills and
+        returns `out`, or None to fall back to the generic path."""
+        from raven_tpu.overlap import selfjoin
+
+        batch = np.zeros(int(self._build_sorted[-1]) + 1, dtype=bool)
+        batch[np.asarray(ids, np.int64)] = True
+        collect = {} if filtered_out is not None else None
+        if self._device is not None and self._hashes is None:
+            matches = self._device.distance_join(
+                int(self._occurrence),
+                batch,
+                need_flags=(minhash and not self._minhash),
+                filtered_out=collect,
+            )
+            if matches is None:
+                return None
+        else:
+            qflag = (
+                self._qflag if (minhash and not self._minhash) else None
+            )
+            matches = selfjoin.distance_join(
+                self._hashes,
+                self._ids,
+                self._pos,
+                self._strand,
+                qflag,
+                int(self._occurrence),
+                batch,
+                filtered_out=collect,
+            )
+        if collect:
+            for rid, plist in collect.items():
+                plist.sort()  # match the generic path's position order
+                filtered_out.setdefault(rid, []).extend(plist)
+        selfjoin.chain_per_read(
+            *matches, self.k, out, anchors_out=anchors_out
+        )
+        return out
 
     # ------------------------------------------------------------------- map
     def sketch(self, readset, i: int, minhash: bool = False):
@@ -175,6 +340,7 @@ class MinimizerIndex:
           minimizer was too frequent (consumed by Pile.AddKmers, reference
           construct.cc:377-383).
         """
+        self._materialize_host()
         if query_sketch is None:
             qh, qp, qs = self.sketch(readset, i, minhash)
         else:
@@ -247,8 +413,17 @@ class MinimizerIndex:
         out: dict[int, np.ndarray] = {
             int(i): np.zeros(0, dtype=OVERLAP_DTYPE) for i in ids
         }
-        if ids.size == 0 or self._hashes.size == 0:
+        if ids.size == 0 or self.num_minimizers == 0:
             return out
+
+        if self._selfjoin_compatible(ids, avoid_equal, avoid_symmetric, minhash):
+            done = self._map_many_selfjoin(
+                ids, minhash, filtered_out, anchors_out, out
+            )
+            if done is not None:
+                return done
+
+        self._materialize_host()
         qh, qi, qp, qs = minimize_reads(readset, ids, self.k, self.w, minhash)
         if qh.size == 0:
             return out
