@@ -1,0 +1,609 @@
+"""Device-resident minimizer index + self-join mapping (the TPU production
+overlap path).
+
+This is the accelerator implementation of the construct phase's hot loop —
+the reference's ram Minimize/Filter/Map fan-out (construct.cc:42-44, 57-113)
+— restructured for the TPU's compilation model:
+
+  * the index is built on device: chunked fixed-shape segment sketching
+    (ops/sketch.py, bit-exact vs the host sketch), on-device compaction and
+    one global key sort; nothing but tiny scalar counts crosses the PCIe/
+    tunnel boundary during the build;
+  * minhash ("micromizer") membership flags are computed on device by a
+    (read, hash, pos) sort + segmented rank — the budget-smallest-hashes
+    selection of minimizer.py:102-109 without any host loop;
+  * the all-vs-all mapping is the self-join distance formulation of
+    overlap/selfjoin.py: after the key sort every candidate pair lies within
+    a run of equal keys, so the join is `maxd` shifted elementwise compares
+    — no per-minimizer searches, no large-array gathers;
+  * candidate matches are compacted on device (per-distance sort-based
+    compaction into static-capacity buffers, then one flattening sort) and
+    transferred back as dense int32 planes; chaining stays on host
+    (overlap/chain.py) so the emitted overlap set is byte-identical to the
+    host path's.
+
+Every buffer has a static shape chosen from power-of-two buckets so the
+persistent compile cache absorbs compilation; every capacity is checked on
+device and an overflow makes the caller fall back to the host path rather
+than silently dropping data.
+
+Scans over the big arrays use a two-level blocked formulation ([R, C] row
+scan + tiny row-carry scan) — single flat scans and 1e8-element gathers are
+the two operations that do not survive this TPU's compiler at full index
+size.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+try:
+    import jax
+    import jax.numpy as jnp
+
+    from raven_tpu.utils.jaxcfg import ensure_jax_cache
+
+    ensure_jax_cache()
+    HAS_JAX = True
+except Exception:  # pragma: no cover
+    HAS_JAX = False
+
+from raven_tpu.ops.sketch import UINT32_INF, segment_reads, sketch_segments_kernel
+
+SEG_WIDTH = 2048
+MAX_D = 32  # static unroll cap; occurrence > MAX_D + 1 -> host fallback
+
+# packed position column: pos | strand << 29 | flag << 30  (pos < 2^29)
+_STRAND_BIT = 29
+_FLAG_BIT = 30
+_POS_MASK = (1 << _STRAND_BIT) - 1
+
+_INVALID_RID = np.int32(2**31 - 1)
+
+
+def _pow2_at_least(n: int, lo: int, hi: int) -> int:
+    c = lo
+    while c < n and c < hi:
+        c <<= 1
+    return c
+
+
+def _split_rc(n: int) -> tuple[int, int]:
+    """Factor the pow2 n into [R, C] with R <= C for blocked scans."""
+    b = n.bit_length() - 1
+    r = 1 << (b // 2)
+    return r, n // r
+
+
+if HAS_JAX:
+
+    def _blocked_cummax(x):
+        """Inclusive cummax over a flat pow2-length int32 array via a row
+        scan + row-carry scan (avoids one full-length scan)."""
+        (n,) = x.shape
+        R, C = _split_rc(n)
+        xb = x.reshape(R, C)
+        row = jax.lax.cummax(xb, axis=1)
+        carry = jax.lax.cummax(row[:, -1])
+        carry = jnp.concatenate(
+            [jnp.full((1,), jnp.iinfo(x.dtype).min, x.dtype), carry[:-1]]
+        )
+        return jnp.maximum(row, carry[:, None]).reshape(-1)
+
+    def _blocked_cummin_rev(x):
+        """Inclusive reverse cummin (same blocked structure)."""
+        (n,) = x.shape
+        R, C = _split_rc(n)
+        xb = x.reshape(R, C)
+        row = jax.lax.cummin(xb, axis=1, reverse=True)
+        carry = jax.lax.cummin(row[:, 0], reverse=True)
+        carry = jnp.concatenate(
+            [carry[1:], jnp.full((1,), jnp.iinfo(x.dtype).max, x.dtype)]
+        )
+        return jnp.minimum(row, carry[:, None]).reshape(-1)
+
+    @functools.partial(
+        jax.jit, static_argnames=("k", "w", "use_pallas", "cap")
+    )
+    def _chunk_sketch_compact(
+        codes, eff, rids, base, clo, chi, k, w, use_pallas, cap
+    ):
+        """Sketch one segment chunk and compact entries to `cap` by a local
+        sort; returns (key, rid, packed_pos) [cap] + the true valid count
+        (count > cap means the capacity clipped real entries)."""
+        key, ids, pos, sb = sketch_segments_kernel(
+            codes, eff, rids, base, clo, chi, k, w, use_pallas=use_pallas
+        )
+        valid = key != UINT32_INF
+        count = valid.sum(dtype=jnp.int32)
+        rid = jnp.where(valid, ids, _INVALID_RID)
+        packed = jnp.where(valid, pos | (sb << _STRAND_BIT), 0).astype(
+            jnp.int32
+        )
+        key_s, rid_s, packed_s = jax.lax.sort(
+            (key, rid, packed), num_keys=1
+        )
+        return key_s[:cap], rid_s[:cap], packed_s[:cap], count
+
+    @jax.jit
+    def _flags_kernel(key, rid, packed, budget_tbl):
+        """Minhash-subset membership per entry (minimizer.py:102-109).
+
+        Sorts by (rid, key, pos); rank r of an entry among its read's
+        entries (hash-ascending, ties by position) is flagged iff
+        r < budget[rid] = read_len // k.  Returns the same columns, flag
+        folded into bit _FLAG_BIT of packed (arrays stay (rid,key,pos)-
+        sorted; the caller re-sorts by key for the index anyway).
+        """
+        pos = packed & _POS_MASK
+        rid_sorted, key_sorted, _, packed_sorted = jax.lax.sort(
+            (rid, key, pos, packed), num_keys=3
+        )
+        n = rid_sorted.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        newread = jnp.concatenate(
+            [
+                jnp.ones((1,), bool),
+                rid_sorted[1:] != rid_sorted[:-1],
+            ]
+        )
+        start = _blocked_cummax(jnp.where(newread, idx, jnp.int32(-1)))
+        rank = idx - start
+        rid_clamped = jnp.clip(rid_sorted, 0, budget_tbl.shape[0] - 1)
+        budget = budget_tbl[rid_clamped]
+        flag = (rank < budget) & (rid_sorted != _INVALID_RID)
+        packed_flagged = jnp.where(
+            flag, packed_sorted | (1 << _FLAG_BIT), packed_sorted
+        )
+        return key_sorted, rid_sorted, packed_flagged
+
+    @functools.partial(jax.jit, static_argnames=("drop_unflagged",))
+    def _index_sort(key, rid, packed, drop_unflagged):
+        """Global key sort building the final index order.  When
+        drop_unflagged (minhash build), entries outside the minhash subset
+        are turned into sentinels first (ram Minimize(minhash=true))."""
+        if drop_unflagged:
+            flag = (packed >> _FLAG_BIT) & 1
+            key = jnp.where(flag == 1, key, UINT32_INF)
+        key_s, rid_s, packed_s = jax.lax.sort(
+            (key, rid, packed), num_keys=1
+        )
+        n_valid = (key_s != UINT32_INF).sum(dtype=jnp.int32)
+        return key_s, rid_s, packed_s, n_valid
+
+    @jax.jit
+    def _run_lengths(key):
+        """Per-entry run length of equal keys (blocked scans, no gathers)."""
+        n = key.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        newrun = jnp.concatenate(
+            [jnp.ones((1,), bool), key[1:] != key[:-1]]
+        )
+        start = _blocked_cummax(jnp.where(newrun, idx, jnp.int32(-1)))
+        nxt = _blocked_cummin_rev(
+            jnp.concatenate(
+                [
+                    jnp.where(newrun[1:], idx[1:], jnp.int32(n)),
+                    jnp.full((1,), n, jnp.int32),
+                ]
+            )
+        )
+        return nxt - start, newrun
+
+    @jax.jit
+    def _num_runs_kernel(key, newrun):
+        return (newrun & (key != UINT32_INF)).sum(dtype=jnp.int32)
+
+    @jax.jit
+    def _occurrence_search(key, counts, newrun, target):
+        """ram Filter semantics on device: occurrence = counts_sorted[i]
+        at i = `target` over the distinct-key counts — found by binary
+        search over the threshold value (28 masked reductions instead of a
+        value sort).  `target` is computed on the host in float64 exactly
+        as the host filter does (float32 would round at 1e7+ runs)."""
+        isrun = newrun & (key != UINT32_INF)
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi) // 2
+            le = jnp.where(isrun & (counts <= mid), jnp.int32(1), 0).sum()
+            good = le >= target + 1
+            return jnp.where(good, lo, mid + 1), jnp.where(good, mid, hi)
+
+        lo, _ = jax.lax.fori_loop(
+            0, 28, body, (jnp.int32(1), jnp.int32(1) << 27)
+        )
+        return lo
+
+    @jax.jit
+    def _entry_inbatch(rid, batch_tbl):
+        """Per-entry batch membership (one small-table gather, computed
+        once per join call instead of once per distance)."""
+        rid_c = jnp.clip(rid, 0, batch_tbl.shape[0] - 1)
+        return (batch_tbl[rid_c] != 0) & (rid != _INVALID_RID)
+
+    @functools.partial(jax.jit, static_argnames=("capd", "need_flags"))
+    def _join_distance(
+        key, rid, packed, counts, inb, occurrence, d, capd, need_flags
+    ):
+        """Matches at one shift distance `d` (traced scalar -> one compile
+        serves every d): pair (i, j = i - d) is valid iff keys equal, the
+        run is not too frequent, the reads differ, the smaller-id side is
+        in the map batch, and (minhash queries) the smaller-id side's entry
+        carries the subset flag.  Valid pair indices are compacted by a
+        sort into codes = i * (MAX_D + 1) + d, capped at `capd`.  Pure
+        elementwise shifted compares — the per-entry batch gather is
+        precomputed in `inb`."""
+        n = key.shape[0]
+        pad = jnp.full((MAX_D,), UINT32_INF, key.dtype)
+        kp = jnp.concatenate([pad, key])
+        rp = jnp.concatenate(
+            [jnp.full((MAX_D,), _INVALID_RID, rid.dtype), rid]
+        )
+        pp = jnp.concatenate([jnp.zeros((MAX_D,), packed.dtype), packed])
+        bp = jnp.concatenate([jnp.zeros((MAX_D,), bool), inb])
+        sh = MAX_D - d
+        key_j = jax.lax.dynamic_slice_in_dim(kp, sh, n)
+        rid_j = jax.lax.dynamic_slice_in_dim(rp, sh, n)
+        packed_j = jax.lax.dynamic_slice_in_dim(pp, sh, n)
+        inb_j = jax.lax.dynamic_slice_in_dim(bp, sh, n)
+
+        eq = (key == key_j) & (key != UINT32_INF)
+        ok = counts <= occurrence
+        idne = rid != rid_j
+        i_is_q = rid < rid_j
+        inbatch = jnp.where(i_is_q, inb, inb_j)
+        mask = eq & ok & idne & inbatch
+        if need_flags:
+            q_packed = jnp.where(i_is_q, packed, packed_j)
+            mask &= ((q_packed >> _FLAG_BIT) & 1) == 1
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        codes = jnp.where(
+            mask,
+            idx * jnp.uint32(MAX_D + 1) + d.astype(jnp.uint32),
+            jnp.uint32(0xFFFFFFFF),
+        )
+        count = mask.sum(dtype=jnp.int32)
+        # blocked compaction: a row sort over [R, 16384] costs ~1/3 of a
+        # flat n-element sort (bitonic depth scales with log^2 of the run);
+        # row prefixes keep inter-row sentinel holes, which the final
+        # flatten sort removes.  capd = R * capr.
+        C = min(n, 1 << 14)
+        R = n // C
+        capr = capd // R
+        codes_s = jax.lax.sort(codes.reshape(R, C), dimension=1)
+        rowcounts = mask.reshape(R, C).sum(axis=1, dtype=jnp.int32)
+        overflow = (rowcounts > capr).any()
+        return codes_s[:, :capr].reshape(-1), count, overflow
+
+    @functools.partial(jax.jit, static_argnames=("capj",))
+    def _join_flatten(codes_stack, capj):
+        """Flatten the per-distance compacted code buffers into one dense
+        stream (second-level sort compaction)."""
+        (codes_s,) = jax.lax.sort((codes_stack.reshape(-1),), num_keys=1)
+        return codes_s[:capj]
+
+    # pair/entry reconstruction runs in fixed slabs: a single gather over
+    # the whole compacted stream at full index size is exactly the
+    # 1e8-element-gather shape that faults this TPU's worker
+    RECON_SLAB = 1 << 22
+
+    @jax.jit
+    def _join_reconstruct_slab(codes, rid, packed):
+        """Decode one slab of compacted pair codes into match columns
+        (codes are index-ascending so the gathers are sequential)."""
+        i = (codes // jnp.uint32(MAX_D + 1)).astype(jnp.int32)
+        d = (codes % jnp.uint32(MAX_D + 1)).astype(jnp.int32)
+        valid = codes != jnp.uint32(0xFFFFFFFF)
+        i = jnp.where(valid, i, 0)
+        j = jnp.maximum(i - d, 0)
+        rid_i = rid[i]
+        rid_j = rid[j]
+        packed_i = packed[i]
+        packed_j = packed[j]
+        i_is_q = rid_i < rid_j
+        q_id = jnp.minimum(rid_i, rid_j)
+        t_id = jnp.maximum(rid_i, rid_j)
+        q_packed = jnp.where(i_is_q, packed_i, packed_j)
+        t_packed = jnp.where(i_is_q, packed_j, packed_i)
+        same = (
+            (q_packed >> _STRAND_BIT) & 1
+        ) == ((t_packed >> _STRAND_BIT) & 1)
+        return (
+            jnp.where(valid, q_id, -1),
+            q_packed & _POS_MASK,
+            t_id,
+            t_packed & _POS_MASK,
+            same.astype(jnp.int8),
+        )
+
+    @functools.partial(jax.jit, static_argnames=("capf", "use_flags"))
+    def _filtered_compact(
+        key, rid, packed, counts, batch_tbl, occurrence, capf, use_flags
+    ):
+        """Query-side entries of too-frequent runs (feed Pile.AddKmers,
+        reference construct.cc:377-383): compacted entry indices with run
+        length > occurrence, subset flag set, and rid in batch."""
+        n = key.shape[0]
+        rid_c = jnp.clip(rid, 0, batch_tbl.shape[0] - 1)
+        mask = (
+            (key != UINT32_INF)
+            & (counts > occurrence)
+            & (batch_tbl[rid_c] != 0)
+        )
+        if use_flags:
+            mask &= ((packed >> _FLAG_BIT) & 1) == 1
+        codes = jnp.where(
+            mask, jnp.arange(n, dtype=jnp.uint32), jnp.uint32(0xFFFFFFFF)
+        )
+        (codes_s,) = jax.lax.sort((codes,), num_keys=1)
+        return codes_s[:capf], mask.sum(dtype=jnp.int32)
+
+    @jax.jit
+    def _entry_gather_slab(codes, rid, packed):
+        i = jnp.where(
+            codes != jnp.uint32(0xFFFFFFFF), codes, 0
+        ).astype(jnp.int32)
+        return rid[i], packed[i] & _POS_MASK
+
+
+class DeviceIndex:
+    """Accelerator-resident minimizer index (see module docstring).
+
+    Construction may return None (caller falls back to the host build) when
+    jax is unavailable or a static capacity would be exceeded.
+    """
+
+    def __init__(self, key, rid, packed, n_entries, has_flags, k, w):
+        self._key = key  # [N] uint32, sorted, UINT32_INF padding
+        self._rid = rid  # [N] int32
+        self._packed = packed  # [N] int32: pos | strand<<29 | flag<<30
+        self._counts = None  # [N] int32 run lengths (lazy)
+        self._newrun = None
+        self.n_entries = int(n_entries)
+        self.has_flags = has_flags
+        self.k = k
+        self.w = w
+
+    # ----------------------------------------------------------------- build
+    @classmethod
+    def build(cls, readset, ids, k, w, minhash, with_flags):
+        if not HAS_JAX or 2 * k > 30:
+            return None
+        ids = np.asarray(ids, dtype=np.int64)
+        use_pallas = jax.default_backend() == "tpu"
+
+        codes, eff, rids, base, clo, chi = segment_reads(
+            readset, ids, k, w, width=SEG_WIDTH
+        )
+        S = codes.shape[0]
+        if S == 0:
+            return None
+        chunk = _pow2_at_least(S, 256, 8192)
+        n_chunks = (S + chunk - 1) // chunk
+        # per-chunk compaction capacity: minimizer density is ~2/(w+1);
+        # 45% gives generous headroom and the true count is checked below
+        cap = max(256, int(chunk * SEG_WIDTH * 0.45) // 256 * 256)
+
+        parts = []
+        counts = []
+        for c in range(n_chunks):
+            sl = slice(c * chunk, min((c + 1) * chunk, S))
+            pad = chunk - (sl.stop - sl.start)
+            args = []
+            for a in (codes, eff, rids, base, clo, chi):
+                piece = a[sl]
+                if pad:
+                    piece = np.concatenate(
+                        [
+                            piece,
+                            np.zeros(
+                                (pad,) + piece.shape[1:], dtype=piece.dtype
+                            ),
+                        ]
+                    )
+                args.append(jnp.asarray(piece))
+            key_c, rid_c, packed_c, count_c = _chunk_sketch_compact(
+                *args, k, w, use_pallas, cap
+            )
+            parts.append((key_c, rid_c, packed_c))
+            counts.append(count_c)
+        counts = [int(c) for c in counts]  # tiny d2h; also syncs chunks
+        if any(c > cap for c in counts):
+            return None  # compaction would clip real entries
+        total = sum(counts)
+
+        N = _pow2_at_least(max(total, 1), 1 << 12, 1 << 26)
+        if total > N:
+            return None  # beyond the largest supported bucket
+        pad_n = N - n_chunks * cap
+        key = jnp.concatenate(
+            [p[0] for p in parts]
+            + (
+                [jnp.full((pad_n,), UINT32_INF, jnp.uint32)]
+                if pad_n > 0
+                else []
+            )
+        )
+        rid = jnp.concatenate(
+            [p[1] for p in parts]
+            + (
+                [jnp.full((pad_n,), _INVALID_RID, jnp.int32)]
+                if pad_n > 0
+                else []
+            )
+        )
+        packed = jnp.concatenate(
+            [p[2] for p in parts]
+            + ([jnp.zeros((pad_n,), jnp.int32)] if pad_n > 0 else [])
+        )
+        if pad_n < 0:  # n_chunks * cap > N: re-compact through one sort
+            key, rid, packed = jax.lax.sort(
+                (key, rid, packed), num_keys=1
+            )
+            key, rid, packed = key[:N], rid[:N], packed[:N]
+
+        need_flags = bool(minhash or with_flags)
+        if need_flags:
+            budget = (
+                np.asarray(readset.lengths, dtype=np.int64) // k
+            ).astype(np.int32)
+            key, rid, packed = _flags_kernel(
+                key, rid, packed, jnp.asarray(budget)
+            )
+        key, rid, packed, n_valid = _index_sort(
+            key, rid, packed, bool(minhash)
+        )
+        return cls(key, rid, packed, int(n_valid), need_flags, k, w)
+
+    # ---------------------------------------------------------------- filter
+    def _ensure_counts(self):
+        if self._counts is None:
+            self._counts, self._newrun = _run_lengths(self._key)
+
+    def occurrence_for(self, frequency: float) -> int:
+        if frequency <= 0 or self.n_entries == 0:
+            return np.iinfo(np.int64).max
+        self._ensure_counts()
+        n_runs = int(_num_runs_kernel(self._key, self._newrun))
+        if n_runs == 0:
+            return np.iinfo(np.int64).max
+        # exact host-filter index semantics (engine.filter): float64 on host
+        target = min(int((1.0 - frequency) * n_runs), n_runs - 1)
+        occ = _occurrence_search(
+            self._key, self._counts, self._newrun, jnp.int32(target)
+        )
+        return int(occ)
+
+    # ------------------------------------------------------------------ join
+    def distance_join(
+        self,
+        occurrence: int,
+        batch: np.ndarray,
+        need_flags: bool,
+        filtered_out: dict | None = None,
+    ):
+        """Self-join matches (q_id, q_pos, t_id, t_pos, same) as numpy
+        arrays, exactly the host selfjoin.distance_join contract; None on
+        any static-capacity overflow (caller falls back to the host path).
+        """
+        if occurrence > MAX_D + 1:
+            return None
+        if need_flags and not self.has_flags:
+            return None
+        self._ensure_counts()
+        N = self._key.shape[0]
+        C = min(N, 1 << 14)
+        capj = max(1 << 14, N >> 1)
+        maxd = min(MAX_D, max(occurrence - 1, 1))
+
+        batch_tbl = jnp.asarray(batch.astype(np.uint8))
+        inb = _entry_inbatch(self._rid, batch_tbl)
+        occ = jnp.int32(occurrence)
+        code_parts = counts = None
+        # row-capacity ladder: the tight capacity wins at assembly scale
+        # (match density ~1% of entries); dense small inputs retry wider
+        for shift in (3, 1):
+            capd = (N // C) * max(64, C >> shift)
+            code_parts = []
+            counts = []
+            overflows = []
+            for d in range(1, maxd + 1):
+                codes_d, count_d, ovf_d = _join_distance(
+                    self._key,
+                    self._rid,
+                    self._packed,
+                    self._counts,
+                    inb,
+                    occ,
+                    jnp.int32(d),
+                    capd,
+                    bool(need_flags),
+                )
+                code_parts.append(codes_d)
+                counts.append(count_d)
+                overflows.append(ovf_d)
+            if not any(bool(o) for o in overflows):
+                break
+            code_parts = None
+        if code_parts is None:
+            return None  # rows clipped real matches even at the widest cap
+        counts = [int(c) for c in counts]
+        total = sum(counts)
+        if total > capj:
+            return None
+        codes = _join_flatten(jnp.stack(code_parts), capj)
+
+        cols = ([], [], [], [], [])
+        for s0 in range(0, total, RECON_SLAB):
+            take = min(RECON_SLAB, total - s0)
+            slab = jax.lax.dynamic_slice_in_dim(
+                codes, s0, min(RECON_SLAB, capj)
+            )
+            out = _join_reconstruct_slab(slab, self._rid, self._packed)
+            for acc, col in zip(cols, out):
+                acc.append(np.asarray(col[:take]))
+        if total == 0:
+            res = (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.uint8),
+            )
+        else:
+            res = (
+                np.concatenate(cols[0]).astype(np.int64),
+                np.concatenate(cols[1]).astype(np.int64),
+                np.concatenate(cols[2]).astype(np.int64),
+                np.concatenate(cols[3]).astype(np.int64),
+                np.concatenate(cols[4]).astype(np.uint8),
+            )
+
+        if filtered_out is not None:
+            capf = max(1 << 12, N >> 3)
+            fcodes, f_count = _filtered_compact(
+                self._key,
+                self._rid,
+                self._packed,
+                self._counts,
+                batch_tbl,
+                occ,
+                capf,
+                bool(need_flags),
+            )
+            f_count = int(f_count)
+            if f_count > capf:
+                return None
+            for s0 in range(0, f_count, RECON_SLAB):
+                take = min(RECON_SLAB, f_count - s0)
+                slab = jax.lax.dynamic_slice_in_dim(
+                    fcodes, s0, min(RECON_SLAB, capf)
+                )
+                f_rid, f_pos = _entry_gather_slab(
+                    slab, self._rid, self._packed
+                )
+                f_rid = np.asarray(f_rid[:take])
+                f_pos = np.asarray(f_pos[:take])
+                for r, p in zip(f_rid.tolist(), f_pos.tolist()):
+                    filtered_out.setdefault(int(r), []).append(int(p))
+        return res
+
+    # ------------------------------------------------------------- host view
+    def to_host(self):
+        """Materialize host columns (hash-sorted) for generic lookup
+        callers: (hashes u64, ids u32, pos u32, strand u8, flags|None)."""
+        n = self.n_entries
+        key = np.asarray(self._key[:n]).astype(np.uint64)
+        rid = np.asarray(self._rid[:n]).astype(np.uint32)
+        packed = np.asarray(self._packed[:n])
+        pos = (packed & _POS_MASK).astype(np.uint32)
+        strand = ((packed >> _STRAND_BIT) & 1).astype(np.uint8)
+        flags = (
+            ((packed >> _FLAG_BIT) & 1).astype(bool)
+            if self.has_flags
+            else None
+        )
+        return key, rid, pos, strand, flags

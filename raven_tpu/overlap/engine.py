@@ -176,6 +176,11 @@ class MinimizerIndex:
         total = int(readset.lengths[np.asarray(ids, np.int64)].sum())
         if mode != "1" and total < self.DEVICE_MIN_BASES:
             return False
+        # entry estimate ~2/(w+1) per base; beyond the largest on-device
+        # index bucket (2^26 entries) the build cannot succeed — skip the
+        # (host-side) segmentation cost and go straight to the host path
+        if total * 2 // (self.w + 1) > (1 << 26):
+            return False
         try:
             import jax
 
@@ -282,6 +287,7 @@ class MinimizerIndex:
         batch = np.zeros(int(self._build_sorted[-1]) + 1, dtype=bool)
         batch[np.asarray(ids, np.int64)] = True
         collect = {} if filtered_out is not None else None
+        matches = None
         if self._device is not None and self._hashes is None:
             matches = self._device.distance_join(
                 int(self._occurrence),
@@ -289,12 +295,15 @@ class MinimizerIndex:
                 need_flags=(minhash and not self._minhash),
                 filtered_out=collect,
             )
-            if matches is None:
-                return None
-        else:
+            if matches is None:  # capacity overflow: host self-join instead
+                self._materialize_host()
+                collect = {} if filtered_out is not None else None
+        if matches is None:
             qflag = (
                 self._qflag if (minhash and not self._minhash) else None
             )
+            if minhash and not self._minhash and qflag is None:
+                return None
             matches = selfjoin.distance_join(
                 self._hashes,
                 self._ids,

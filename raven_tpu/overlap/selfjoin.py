@@ -187,9 +187,12 @@ def chain_per_read(
     )
     uniq, starts = np.unique(q_id, return_index=True)
     bounds = np.append(starts, q_id.size)
-    for u, s0, s1 in zip(uniq, bounds[:-1], bounds[1:]):
+    groups = list(zip(uniq, bounds[:-1], bounds[1:]))
+
+    def run_group(item):
+        u, s0, s1 = item
         per_read_anchors = [] if anchors_out is not None else None
-        out[int(u)] = chain_mod.chain_matches(
+        res = chain_mod.chain_matches(
             int(u),
             t_id[s0:s1].astype(np.uint32),
             same[s0:s1],
@@ -198,5 +201,28 @@ def chain_per_read(
             k,
             anchors_out=per_read_anchors,
         )
+        return int(u), res, per_read_anchors
+
+    import os
+
+    from raven_tpu.config import worker_count
+
+    workers = worker_count()
+    if (
+        len(groups) >= 256
+        and workers > 1
+        and os.environ.get("RAVEN_TPU_NO_MP") != "1"
+    ):
+        # the native chain core is a ctypes call (GIL released), so plain
+        # threads scale it — and they are safe after jax initialization,
+        # where the fork pools used elsewhere are not
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(workers) as ex:
+            results = list(ex.map(run_group, groups, chunksize=64))
+    else:
+        results = [run_group(g) for g in groups]
+    for u, res, per_read_anchors in results:
+        out[u] = res
         if anchors_out is not None:
-            anchors_out[int(u)] = per_read_anchors
+            anchors_out[u] = per_read_anchors

@@ -1,0 +1,160 @@
+"""Device-resident index (overlap/device_index.py) vs host path: exact
+parity of the built index, the occurrence filter, and the emitted overlap
+sets.  Runs on the CPU backend (conftest pins JAX_PLATFORMS=cpu) with the
+device path force-enabled via RAVEN_TPU_DEVICE_MAP=1 — the same kernels
+compile for TPU unchanged.
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import random_genome, sample_reads
+from raven_tpu.io.readset import ReadSet
+from raven_tpu.overlap.engine import MinimizerIndex
+
+jax = pytest.importorskip("jax")
+
+
+def _readset(seed=11, genome_len=50000, coverage=8):
+    rng = np.random.default_rng(seed)
+    genome = random_genome(rng, genome_len)
+    n_reads = genome_len * coverage // 4000
+    reads, _ = sample_reads(rng, genome, n_reads, mean_len=4000, error=0.08)
+    return ReadSet.from_sequences(reads)
+
+
+def _device_index(rs, ids, minhash=False, with_flags=True, monkeypatch=None):
+    monkeypatch.setenv("RAVEN_TPU_DEVICE_MAP", "1")
+    idx = MinimizerIndex(15, 5)
+    idx.minimize(rs, ids, minhash=minhash, with_query_flags=with_flags)
+    assert idx._device is not None, "device build did not engage"
+    return idx
+
+
+def _host_index(rs, ids, minhash=False, with_flags=True, monkeypatch=None):
+    monkeypatch.setenv("RAVEN_TPU_DEVICE_MAP", "0")
+    idx = MinimizerIndex(15, 5)
+    idx.minimize(rs, ids, minhash=minhash, with_query_flags=with_flags)
+    assert idx._device is None
+    return idx
+
+
+def _entry_tuples(h, i, p, s, f):
+    cols = [h, i, p, s] + ([f.astype(np.uint8)] if f is not None else [])
+    return sorted(zip(*(c.tolist() for c in cols)))
+
+
+@pytest.mark.parametrize("minhash", [False, True])
+def test_build_parity(monkeypatch, minhash):
+    rs = _readset()
+    ids = np.arange(len(rs))
+    dev = _device_index(rs, ids, minhash=minhash, monkeypatch=monkeypatch)
+    host = _host_index(rs, ids, minhash=minhash, monkeypatch=monkeypatch)
+
+    dh, di, dp, ds, df = dev._device.to_host()
+    assert dev.num_minimizers == host.num_minimizers
+    if minhash:
+        df = None  # host minhash build carries no flags (all entries kept)
+    assert _entry_tuples(dh, di, dp, ds, df) == _entry_tuples(
+        host._hashes,
+        host._ids,
+        host._pos,
+        host._strand,
+        host._qflag if not minhash else None,
+    )
+
+
+@pytest.mark.parametrize("freq", [0.001, 0.01, 0.05])
+def test_occurrence_parity(monkeypatch, freq):
+    rs = _readset()
+    ids = np.arange(len(rs))
+    dev = _device_index(rs, ids, monkeypatch=monkeypatch)
+    host = _host_index(rs, ids, monkeypatch=monkeypatch)
+    dev.filter(freq)
+    host.filter(freq)
+    assert dev._occurrence == host._occurrence
+
+
+def _sorted_results(res):
+    out = {}
+    for rid, arr in res.items():
+        out[rid] = np.sort(
+            arr, order=["rhs_id", "strand", "lhs_begin", "rhs_begin"]
+        )
+    return out
+
+
+@pytest.mark.parametrize(
+    "index_minhash,query_minhash",
+    [(False, True), (False, False), (True, True)],
+)
+def test_map_many_parity(monkeypatch, index_minhash, query_minhash):
+    rs = _readset()
+    ids = np.arange(len(rs))
+    dev = _device_index(
+        rs,
+        ids,
+        minhash=index_minhash,
+        with_flags=not index_minhash,
+        monkeypatch=monkeypatch,
+    )
+    host = _host_index(
+        rs,
+        ids,
+        minhash=index_minhash,
+        with_flags=not index_minhash,
+        monkeypatch=monkeypatch,
+    )
+    dev.filter(0.001)
+    host.filter(0.001)
+    assert dev._occurrence == host._occurrence
+
+    fdev: dict = {}
+    fhost: dict = {}
+    rdev = dev.map_many(rs, ids, minhash=query_minhash, filtered_out=fdev)
+    assert dev._hashes is None, "device join fell back to host"
+    rhost = host.map_many(rs, ids, minhash=query_minhash, filtered_out=fhost)
+
+    a, b = _sorted_results(rdev), _sorted_results(rhost)
+    assert set(a) == set(b)
+    for rid in a:
+        assert np.array_equal(a[rid], b[rid]), f"read {rid} differs"
+    assert {k: sorted(v) for k, v in fdev.items()} == {
+        k: sorted(v) for k, v in fhost.items()
+    }
+
+
+def test_map_subset_batch_parity(monkeypatch):
+    """Stage -4 pattern: index a subset of reads, map them in sub-batches."""
+    rs = _readset(seed=5)
+    valid = np.arange(0, len(rs), 2)  # non-contiguous id subset
+    dev = _device_index(rs, valid, monkeypatch=monkeypatch)
+    host = _host_index(rs, valid, monkeypatch=monkeypatch)
+    dev.filter(0.001)
+    host.filter(0.001)
+
+    half = valid[: valid.size // 2]
+    rdev = dev.map_many(rs, half, minhash=False)
+    rhost = host.map_many(rs, half, minhash=False)
+    a, b = _sorted_results(rdev), _sorted_results(rhost)
+    assert set(a) == set(b)
+    for rid in a:
+        assert np.array_equal(a[rid], b[rid])
+
+
+def test_materialize_fallback(monkeypatch):
+    """Generic per-read map() on a device-built index transfers the columns
+    and must match a host-built index exactly."""
+    rs = _readset(seed=3)
+    ids = np.arange(len(rs))
+    dev = _device_index(rs, ids, monkeypatch=monkeypatch)
+    host = _host_index(rs, ids, monkeypatch=monkeypatch)
+    dev.filter(0.001)
+    host.filter(0.001)
+    for rid in [0, 3, 7]:
+        a = dev.map(rs, rid)
+        b = host.map(rs, rid)
+        assert np.array_equal(
+            np.sort(a, order=["rhs_id", "strand", "lhs_begin", "rhs_begin"]),
+            np.sort(b, order=["rhs_id", "strand", "lhs_begin", "rhs_begin"]),
+        )
