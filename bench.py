@@ -1,52 +1,49 @@
 #!/usr/bin/env python3
-"""Overlap-stage throughput benchmark (candidate pairs/s/chip).
+"""Overlap-stage throughput benchmark — the PRODUCTION pipeline.
 
-Runs the device overlap-candidate pipeline (minimizer sketching -> on-device
-sort -> hash join) on the bundled lambda-phage reads (or synthetic ONT-like
-reads when the bundle is absent), on whatever accelerator JAX finds; the
-baseline is the same computation through the host numpy path (the
-single-threaded CPU reference implementation in raven_tpu.overlap).
+Workload: the full overlap stage the assembler actually runs (reference
+equivalent: ram Minimize + Filter + Map fan-out, construct.cc:42-113) —
+minimizer sketching, index build, occurrence filter, self-join mapping and
+anchor chaining, overlaps materialized.
+
+  * device number: the device-resident index path (overlap/device_index.py)
+    on whatever accelerator JAX finds; steady-state pass (the persistent
+    compile cache and the per-process tunnel warm-up are environment
+    artifacts, both passes are reported).
+  * baseline: the multi-process host production path (fork-pool sketching +
+    numpy self-join + native chaining) in a subprocess with all available
+    cores.  BASELINE.md's north star names a 16-thread CPU; this host has
+    `host_workers` cores — scale accordingly when comparing across hosts.
+
+The two paths must produce identical overlap sets (digest-checked here;
+byte-identical stage dumps are asserted in tests/ and were verified through
+the full CLI pipeline).
 
 Prints ONE json line:
-  {"metric": ..., "value": pairs/s on device, "unit": "pairs/s",
-   "vs_baseline": device_rate / host_rate}
+  {"metric": "overlap_stage_bases_per_s_per_chip", "value": ...,
+   "unit": "bases/s", "vs_baseline": host_wall / device_steady_wall, ...}
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/raven_tpu_jax")
-try:  # jax may be preloaded: env vars are too late, use config directly
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/raven_tpu_jax")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
 
 K, W = 15, 5
 FREQ = 0.001
-LAMBDA = "/root/reference/RavenTest/data/ERA476754.fastq.gz"
+CACHE = "/tmp/raven_bench_reads.npz"
 
 
 def log(msg: str) -> None:
-    print(msg, file=sys.stderr)
-
-
-def load_lambda():
-    from raven_tpu.io import parse_file
-
-    if os.path.exists(LAMBDA):
-        rs = parse_file(LAMBDA)
-        log(f"loaded {len(rs)} lambda reads, {rs.codes.size} bases")
-        return rs
-    return None
+    print(msg, file=sys.stderr, flush=True)
 
 
 def synth_reads(genome_size: int, coverage: float, mean_len: int, error: float):
@@ -76,182 +73,156 @@ def synth_reads(genome_size: int, coverage: float, mean_len: int, error: float):
     return ReadSet.from_sequences(reads)
 
 
-def host_rate(readset, occurrence) -> tuple[float, int]:
-    """numpy reference path: sketch + sort + join count.
+def load_or_make_readset():
+    from raven_tpu.io.readset import ReadSet
 
-    Pinned to a single process so the baseline definition stays stable
-    across rounds (the production host path fans out over cores)."""
-    from raven_tpu.overlap.minimizer import minimize_reads
-
-    t0 = time.perf_counter()
-    os.environ["RAVEN_TPU_NO_MP"] = "1"
-    try:
-        h, ids, pos, strand = minimize_reads(
-            readset, np.arange(len(readset)), K, W
-        )
-    finally:
-        os.environ.pop("RAVEN_TPU_NO_MP", None)
-    order = np.argsort(h, kind="stable")
-    hs = h[order]
-    lo = np.searchsorted(hs, hs, side="left")
-    hi = np.searchsorted(hs, hs, side="right")
-    counts = hi - lo
-    valid = counts <= occurrence
-    pairs = int(np.where(valid, counts - 1, 0).sum() // 2)
-    dt = time.perf_counter() - t0
-    return pairs / dt, pairs
-
-
-def device_rate(readset, occurrence, blacklist) -> tuple[float, int]:
-    import jax
-    import jax.numpy as jnp
-
-    from raven_tpu.ops.overlap_step import join_count_filtered_kernel
-    from raven_tpu.ops.sketch import segment_reads, sketch_segments_kernel
-
-    import functools
-
-    backend = jax.default_backend()
-    log(f"jax backend: {backend}, devices: {jax.devices()}")
-
-    # fixed-width halo'd segments: one kernel shape, no per-read padding
-    codes, eff, rids, base, clo, chi = segment_reads(
-        readset, np.arange(len(readset)), K, W, width=2048
-    )
-    S, width = codes.shape
-    log(f"{S} segments of {width}")
-
-    # chunked sketch + per-chunk compaction bounds peak HBM: each chunk's
-    # [chunk, width] intermediates live only within its call, and only the
-    # compacted (hash, id) pairs survive to the global join
-    CHUNK = 32768
-    CAP_FRACTION = 0.45  # minimizer density is ~2/(w+1) = 1/3; headroom
-    n_chunks = (S + CHUNK - 1) // CHUNK
-    pad_S = n_chunks * CHUNK
-    if pad_S != S:  # pad with empty segments (eff_len 0 -> no minimizers)
-        codes = np.vstack([codes, np.zeros((pad_S - S, width), np.uint8)])
-        eff = np.concatenate([eff, np.zeros(pad_S - S, np.int32)])
-        rids = np.concatenate([rids, np.zeros(pad_S - S, np.int32)])
-        base = np.concatenate([base, np.zeros(pad_S - S, np.int32)])
-        clo = np.concatenate([clo, np.zeros(pad_S - S, np.int32)])
-        chi = np.concatenate([chi, np.zeros(pad_S - S, np.int32)])
-    cap = int(CHUNK * width * CAP_FRACTION) // 256 * 256
-
-    use_pallas = backend == "tpu"  # fused Pallas sketch on real hardware
-
-    @functools.partial(jax.jit, static_argnames=("k", "w", "capacity"))
-    def sketch_chunk(codes, eff, rids, base, clo, chi, k, w, capacity):
-        key, ids, pos, sb = sketch_segments_kernel(
-            codes, eff, rids, base, clo, chi, k, w, use_pallas=use_pallas
-        )
-        key_s, ids_s = jax.lax.sort((key, ids), num_keys=1)
-        return key_s[:capacity], ids_s[:capacity]
-
-    chunks = []
-    for c in range(n_chunks):
-        sl = slice(c * CHUNK, (c + 1) * CHUNK)
-        chunks.append(
-            tuple(
-                jnp.asarray(a[sl])
-                for a in (codes, eff, rids, base, clo, chi)
+    size = int(os.environ.get("RAVEN_BENCH_GENOME", 2_300_000))
+    cov = float(os.environ.get("RAVEN_BENCH_COVERAGE", 50))
+    tag = f"{size}_{cov}"
+    if os.path.exists(CACHE):
+        z = np.load(CACHE, allow_pickle=False)
+        if str(z["tag"]) == tag:
+            n = z["lengths"].size
+            return ReadSet(
+                names=[f"read{i}" for i in range(n)],
+                starts=z["starts"],
+                lengths=z["lengths"],
+                codes=z["codes"],
+                quals=np.empty(0, np.uint8),
             )
-        )
+    rs = synth_reads(size, cov, 9000, 0.10)
+    np.savez(
+        CACHE, tag=tag, starts=rs.starts, lengths=rs.lengths, codes=rs.codes
+    )
+    return rs
 
-    # fixed blacklist shape + unroll depth: one compilation for all inputs
-    MAXD = 32
-    BL_CAP = 1 << 17
-    assert occurrence <= MAXD, "occurrence exceeds static unroll cap"
-    assert blacklist.size <= BL_CAP, "blacklist exceeds static capacity"
-    bl_fixed = np.full(BL_CAP, 0xFFFFFFFF, np.uint32)
-    bl_fixed[: blacklist.size] = blacklist
-    bl = jnp.asarray(bl_fixed)
 
-    # fixed join capacity: one compilation serves every dataset size
-    JOIN_CAP = 1 << 26
-    total_keys = n_chunks * cap
-    assert total_keys <= JOIN_CAP, "dataset too large for JOIN_CAP"
-    pad_keys = jnp.full(JOIN_CAP - total_keys, 0xFFFFFFFF, jnp.uint32)
+def overlap_stage(readset, device: bool):
+    """One full production overlap pass; returns (wall_s, results dict)."""
+    from raven_tpu.overlap.engine import MinimizerIndex
 
-    def run_once():
-        keys = [pad_keys]
-        for ch in chunks:
-            kk, ii = sketch_chunk(*ch, K, W, cap)
-            keys.append(kk)
-        return join_count_filtered_kernel(
-            jnp.concatenate(keys), bl, MAXD
-        )
-
+    os.environ["RAVEN_TPU_DEVICE_MAP"] = "1" if device else "0"
+    ids = np.arange(len(readset))
     t0 = time.perf_counter()
-    pairs = int(run_once())  # warmup / compile
-    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
-    n_iter = 3
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = run_once()
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iter
-    log(f"device per-run: {dt:.3f}s over {n_chunks} chunks")
-    return pairs / dt, pairs
+    index = MinimizerIndex(K, W)
+    index.minimize(readset, ids, minhash=False, with_query_flags=True)
+    index.filter(FREQ)
+    results = index.map_many(readset, ids, minhash=True)
+    wall = time.perf_counter() - t0
+    if device and index._device is None:
+        raise RuntimeError("device path did not engage")
+    return wall, results, int(index._occurrence)
+
+
+def overlap_digest(results) -> tuple[str, int]:
+    """Order-independent digest of the emitted overlap set."""
+    h = hashlib.sha256()
+    n = 0
+    for rid in sorted(results):
+        arr = results[rid]
+        n += arr.size
+        arr = np.sort(
+            arr, order=["rhs_id", "strand", "lhs_begin", "rhs_begin"]
+        )
+        h.update(np.int64(rid).tobytes())
+        h.update(arr.tobytes())
+    return h.hexdigest(), n
+
+
+def host_baseline_main(path: str) -> int:
+    """Runs in a subprocess WITHOUT the axon sitecustomize so jax stays
+    unloaded and the production fork pools engage (they are disabled after
+    jax initialization)."""
+    readset = load_or_make_readset()
+    wall, results, occ = overlap_stage(readset, device=False)
+    digest, n_ov = overlap_digest(results)
+    with open(path, "w") as f:
+        json.dump(
+            {"wall": wall, "digest": digest, "overlaps": n_ov, "occ": occ}, f
+        )
+    return 0
 
 
 def main() -> int:
-    from raven_tpu.overlap.minimizer import minimize_reads
-    from raven_tpu.ops.overlap_step import estimate_occurrence
-
-    # correctness sanity on the bundled lambda reads: device pair count must
-    # equal the host pair count
-    lam = load_lambda()
-
-    # throughput dataset: E. coli K-12 scale, ~50x ONT (BASELINE.md config 2)
-    size = int(os.environ.get("RAVEN_BENCH_GENOME", 2_300_000))
-    cov = float(os.environ.get("RAVEN_BENCH_COVERAGE", 50))
-    readset = synth_reads(size, cov, 9000, 0.10)
-
-    h, _, _, _ = minimize_reads(readset, np.arange(len(readset)), K, W)
-    uniq, counts = np.unique(h, return_counts=True)
-    occurrence = estimate_occurrence(counts, FREQ)
-    log(f"occurrence threshold: {occurrence}")
-
-    blacklist = np.sort(uniq[counts > occurrence]).astype(np.uint32)
-    if blacklist.size == 0:
-        blacklist = np.array([0xFFFFFFFF], dtype=np.uint32)
-    log(f"blacklist size: {blacklist.size}")
-
-    hrate, hpairs = host_rate(readset, occurrence)
-    log(f"host:   {hrate:,.0f} pairs/s ({hpairs} pairs)")
+    if len(sys.argv) > 2 and sys.argv[1] == "--host-baseline":
+        return host_baseline_main(sys.argv[2])
 
     try:
-        drate, dpairs = device_rate(readset, occurrence, blacklist)
-        log(f"device: {drate:,.0f} pairs/s ({dpairs} pairs)")
-        if dpairs != hpairs:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir", "/root/.cache/raven_tpu_jax"
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+        backend = jax.default_backend()
+    except Exception:
+        backend = "none"
+    log(f"jax backend: {backend}")
+
+    readset = load_or_make_readset()
+    total_bases = int(readset.lengths.sum())
+    workers = os.cpu_count() or 1
+
+    # ---- host baseline in a clean subprocess (fork pools active) ----
+    result_path = "/tmp/raven_bench_host.json"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    env.pop("PYTHONSTARTUP", None)
+    t0 = time.perf_counter()
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--host-baseline", result_path],
+        env=env,
+        check=True,
+    )
+    host_total = time.perf_counter() - t0
+    with open(result_path) as f:
+        host = json.load(f)
+    log(
+        f"host ({workers} cores): {host['wall']:.2f}s overlap stage "
+        f"({host['overlaps']} overlaps, subprocess total {host_total:.1f}s)"
+    )
+
+    # ---- device: two passes (cold includes compiles + tunnel warm-up) ----
+    device_ok = backend not in ("none", "cpu")
+    if device_ok:
+        try:
+            cold, results, occ = overlap_stage(readset, device=True)
+            ddigest, n_ov = overlap_digest(results)
+            assert ddigest == host["digest"], "overlap set mismatch vs host"
+            assert occ == host["occ"], "occurrence mismatch vs host"
+            steady, results2, _ = overlap_stage(readset, device=True)
+            ddigest2, _ = overlap_digest(results2)
+            assert ddigest2 == host["digest"]
             log(
-                f"WARNING: device pairs {dpairs} != host pairs {hpairs}"
+                f"device: cold {cold:.2f}s, steady {steady:.2f}s "
+                f"({n_ov} overlaps, digest ok)"
             )
-        if lam is not None:
-            lh, _, _, _ = minimize_reads(lam, np.arange(len(lam)), K, W)
-            _, lcounts = np.unique(lh, return_counts=True)
-            locc = estimate_occurrence(lcounts, FREQ)
-            luniq, lcounts2 = np.unique(lh, return_counts=True)
-            lbl = np.sort(luniq[lcounts2 > locc]).astype(np.uint32)
-            if lbl.size == 0:
-                lbl = np.array([0xFFFFFFFF], dtype=np.uint32)
-            lhrate, lhpairs = host_rate(lam, locc)
-            ldrate, ldpairs = device_rate(lam, locc, lbl)
-            log(
-                f"lambda sanity: host {lhpairs} pairs, device {ldpairs} pairs"
-            )
-            assert lhpairs == ldpairs, "lambda pair-count mismatch"
-    except Exception as e:  # no accelerator: report host as device
-        log(f"device path failed ({e}); reporting host rate")
-        drate, dpairs = hrate, hpairs
+        except Exception as e:
+            log(f"device path failed ({e}); reporting host numbers")
+            device_ok = False
+    if not device_ok:
+        cold = steady = host["wall"]
 
     print(
         json.dumps(
             {
-                "metric": "overlap_candidate_pairs_per_s_per_chip",
-                "value": round(drate),
-                "unit": "pairs/s",
-                "vs_baseline": round(drate / hrate, 3),
+                "metric": "overlap_stage_bases_per_s_per_chip",
+                "value": round(total_bases / steady),
+                "unit": "bases/s",
+                "vs_baseline": round(host["wall"] / steady, 3),
+                "host_s": round(host["wall"], 2),
+                "device_cold_s": round(cold, 2),
+                "device_steady_s": round(steady, 2),
+                "host_workers": workers,
+                "total_bases": total_bases,
+                "overlaps": host["overlaps"],
+                "r01_metric_note": (
+                    "r01 benchmarked candidate-pair counting only "
+                    "(no chaining, single-process host baseline); this "
+                    "measures the full production overlap stage"
+                ),
             }
         )
     )
