@@ -133,6 +133,96 @@ if HAS_JAX:
         )
         return pt, pq, pmv
 
+    @functools.partial(
+        jax.jit, static_argnames=("T", "Q", "STEPS", "NWIN", "band")
+    )
+    def fused_votes_kernel(
+        cons_arr,
+        cons_lens,
+        cons_runs,
+        frags,
+        q_lens,
+        wts,
+        win_idx,
+        T: int,
+        Q: int,
+        STEPS: int,
+        NWIN: int,
+        band: int = 0,
+    ):
+        """NW + traceback + vote aggregation in one device dispatch.
+
+        Replaces the host `consensus_votes` scatter (np.add.at) so only the
+        small vote tables leave the device — through the remote-TPU tunnel
+        the [STEPS, B] path transfer dominated the consensus wall time.
+        Semantics identical to traceback_kernel + consensus_votes (parity
+        test in tests/test_consensus_device.py).
+
+        cons_arr [NWIN, T] (pad < 0), cons_lens [NWIN],
+        cons_runs [NWIN, T+1, 4] homopolymer junction map,
+        frags [B, Q] (pad < 0), q_lens [B], wts [B, Q] int32,
+        win_idx [B] window of each fragment row.
+        Returns (base_votes [NWIN, T, 5], ins_votes [NWIN, T+1, 4],
+        cover [NWIN, T]) all int32.
+        """
+        B = frags.shape[0]
+        cw = cons_arr[win_idx]
+        cwl = cons_lens[win_idx]
+        moves, end_scores, row0_score = nw_moves_kernel(
+            cw, cwl, frags, q_lens, T, Q, band
+        )
+        pt, pq, pmv = traceback_kernel(
+            moves, end_scores, row0_score, q_lens, T, Q, STEPS
+        )
+
+        mv = pmv.reshape(-1)
+        t = pt.reshape(-1).astype(jnp.int32)
+        q = pq.reshape(-1).astype(jnp.int32)
+        b = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32), (STEPS, B)
+        ).reshape(-1)
+        w = win_idx[b].astype(jnp.int32)
+        qi = jnp.clip(q - 1, 0, Q - 1)
+        fb = jnp.clip(frags[b, qi], 0, 3)
+        fw = wts[b, qi].astype(jnp.int32)
+        tm1 = jnp.clip(t - 1, 0, T - 1)
+
+        # diag votes base fb at t-1; up votes deletion (slot 4) at t-1
+        m_diag = mv == 0
+        m_up = mv == 1
+        col = jnp.where(m_diag, fb, 4)
+        base_idx = (w * T + tm1) * 5 + col
+        base_val = jnp.where(m_diag | m_up, fw, 0)
+        base_votes = (
+            jnp.zeros(NWIN * T * 5, jnp.int32)
+            .at[jnp.where(m_diag | m_up, base_idx, 0)]
+            .add(base_val)
+            .reshape(NWIN, T, 5)
+        )
+        cover = (
+            jnp.zeros(NWIN * T, jnp.int32)
+            .at[jnp.where(m_diag | m_up, w * T + tm1, 0)]
+            .add(jnp.where(m_diag | m_up, 1, 0))
+            .reshape(NWIN, T)
+        )
+
+        # insertions: first base of each run (reverse-order run boundary),
+        # canonicalized to the homopolymer run-start junction
+        prev_mv = jnp.concatenate(
+            [jnp.full((1, B), 3, pmv.dtype), pmv[:-1]]
+        ).reshape(-1)
+        m_ins = (mv == 2) & (prev_mv != 2)
+        tj = jnp.clip(t, 0, T)
+        junction = cons_runs[w, tj, fb]
+        ins_idx = (w * (T + 1) + junction) * 4 + fb
+        ins_votes = (
+            jnp.zeros(NWIN * (T + 1) * 4, jnp.int32)
+            .at[jnp.where(m_ins, ins_idx, 0)]
+            .add(jnp.where(m_ins, fw, 0))
+            .reshape(NWIN, T + 1, 4)
+        )
+        return base_votes, ins_votes, cover
+
 
 def homopolymer_run_map(cons_arr: np.ndarray, cons_lens: np.ndarray) -> np.ndarray:
     """cons_runs[w, t, b]: canonical junction index for inserting base b
@@ -262,75 +352,75 @@ def device_window_consensus(
     B_total = len(frag_rows)
     if B_total == 0:
         return cons
-    win_of_arr = np.array(win_of, dtype=np.int64)
-    q_lens = np.array([f.size for f in frag_rows], dtype=np.int32)
-    frags_arr = np.full((B_total, q_pad), -1, dtype=np.int32)
+    # pad rows to a whole number of chunks and windows to a power-of-two
+    # bucket so every dispatch reuses one compiled shape
+    n_chunks = -(-B_total // chunk)
+    B_pad = n_chunks * chunk
+    NWIN = 8
+    while NWIN < n_win:
+        NWIN *= 2
+    win_of_arr = np.zeros(B_pad, dtype=np.int32)
+    win_of_arr[:B_total] = np.array(win_of, dtype=np.int32)
+    q_lens = np.zeros(B_pad, dtype=np.int32)
+    q_lens[:B_total] = [f.size for f in frag_rows]
+    frags_arr = np.full((B_pad, q_pad), -1, dtype=np.int32)
     for i, f in enumerate(frag_rows):
         frags_arr[i, : f.size] = f
+    w_arr = np.ones((B_pad, q_pad), dtype=np.int32)
     if any_weights:
-        w_arr = np.zeros((B_total, q_pad), dtype=np.uint8)
+        w_arr[:] = 0
         for i, wrow in enumerate(weight_rows):
             w_arr[i, : wrow.size] = wrow
-    else:
-        w_arr = None
+
+    # fragments/weights are iteration-invariant: device-resident once
+    frags_dev = jnp.asarray(frags_arr)
+    wts_dev = jnp.asarray(w_arr)
+    qlens_dev = jnp.asarray(q_lens)
+    winof_dev = jnp.asarray(win_of_arr)
 
     steps = t_pad + q_pad
+    band = max(128, q_pad // 6) if banded else 0
     for _ in range(iterations):
-        cons_arr = np.full((n_win, t_pad), -1, dtype=np.int32)
-        cons_lens = np.zeros(n_win, dtype=np.int32)
+        cons_arr = np.full((NWIN, t_pad), -1, dtype=np.int32)
+        cons_lens = np.zeros(NWIN, dtype=np.int32)
         for wi, c in enumerate(cons):
             cl = min(c.size, t_pad)
             cons_arr[wi, :cl] = c[:cl]
             cons_lens[wi] = cl
-
-        base_votes = np.zeros((n_win, t_pad, 5), dtype=np.int64)
-        ins_votes = np.zeros((n_win, t_pad + 1, 4), dtype=np.int64)
-        cover = np.zeros((n_win, t_pad), dtype=np.int64)
         cons_runs = homopolymer_run_map(cons_arr, cons_lens)
+        cons_dev = jnp.asarray(cons_arr)
+        clens_dev = jnp.asarray(cons_lens)
+        cruns_dev = jnp.asarray(cons_runs)
 
-        for c0 in range(0, B_total, chunk):
-            sl = slice(c0, min(c0 + chunk, B_total))
-            nb = sl.stop - sl.start
-            pad = chunk - nb
-            cw = cons_arr[win_of_arr[sl]]
-            cwl = cons_lens[win_of_arr[sl]]
-            fr = frags_arr[sl]
-            ql = q_lens[sl]
-            if pad:
-                cw = np.vstack([cw, np.full((pad, t_pad), -1, np.int32)])
-                cwl = np.concatenate([cwl, np.zeros(pad, np.int32)])
-                fr = np.vstack([fr, np.full((pad, q_pad), -1, np.int32)])
-                ql = np.concatenate([ql, np.zeros(pad, np.int32)])
-            moves, end_scores, row0_score = nw_moves_kernel(
-                jnp.asarray(cw), jnp.asarray(cwl), jnp.asarray(fr),
-                jnp.asarray(ql), t_pad, q_pad,
-                band=max(128, q_pad // 6) if banded else 0,
-            )
-            pt, pq, pmv = traceback_kernel(
-                moves, end_scores, row0_score, jnp.asarray(ql),
-                t_pad, q_pad, steps,
-            )
-            pt = np.asarray(pt)[:, :nb]
-            pq = np.asarray(pq)[:, :nb]
-            pmv = np.asarray(pmv)[:, :nb]
-            bv, iv, cv = consensus_votes(
-                pt,
-                pq,
-                pmv,
-                frags_arr[sl],
-                w_arr[sl] if w_arr is not None else None,
-                win_of_arr[sl],
-                n_win,
+        bv_dev = jnp.zeros((NWIN, t_pad, 5), jnp.int32)
+        iv_dev = jnp.zeros((NWIN, t_pad + 1, 4), jnp.int32)
+        cv_dev = jnp.zeros((NWIN, t_pad), jnp.int32)
+        for c0 in range(0, B_pad, chunk):
+            sl = slice(c0, c0 + chunk)
+            bv, iv, cv = fused_votes_kernel(
+                cons_dev,
+                clens_dev,
+                cruns_dev,
+                frags_dev[sl],
+                qlens_dev[sl],
+                wts_dev[sl],
+                winof_dev[sl],
                 t_pad,
-                cons_runs=cons_runs,
+                q_pad,
+                steps,
+                NWIN,
+                band,
             )
-            base_votes += bv
-            ins_votes += iv
-            cover += cv
+            bv_dev += bv
+            iv_dev += iv
+            cv_dev += cv
+        base_votes = np.asarray(bv_dev).astype(np.int64)
+        ins_votes = np.asarray(iv_dev).astype(np.int64)
+        cover = np.asarray(cv_dev).astype(np.int64)
 
         new_cons = []
         for wi in range(n_win):
-            nfr = int((win_of_arr == wi).sum())
+            nfr = int((win_of_arr[:B_total] == wi).sum())
             new_cons.append(
                 rebuild_consensus(
                     cons_arr[wi],

@@ -55,6 +55,62 @@ def test_nw_traceback_exact_match(rng):
     assert (pmv != 3).sum() == 50
 
 
+def test_fused_votes_matches_host_oracle(rng):
+    """fused_votes_kernel (on-device scatter) must produce the same vote
+    tables as traceback + host consensus_votes."""
+    import jax.numpy as jnp
+
+    from raven_tpu.ops.consensus_device import (
+        consensus_votes,
+        fused_votes_kernel,
+        homopolymer_run_map,
+    )
+
+    T, Q, NWIN = 96, 128, 8
+    n_win, B = 5, 24
+    cons_arr = np.full((NWIN, T), -1, np.int32)
+    cons_lens = np.zeros(NWIN, np.int32)
+    truths = []
+    for wi in range(n_win):
+        truth = rng.integers(0, 4, 80).astype(np.uint8)
+        bb = mutate(rng, truth, 0.05, 0.05, 0.04)[:T]
+        cons_arr[wi, : bb.size] = bb
+        cons_lens[wi] = bb.size
+        truths.append(truth)
+    frags = np.full((B, Q), -1, np.int32)
+    q_lens = np.zeros(B, np.int32)
+    wts = np.ones((B, Q), np.int32)
+    win_of = rng.integers(0, n_win, B).astype(np.int32)
+    for i in range(B):
+        f = mutate(rng, truths[win_of[i]], 0.06, 0.05, 0.05)[:Q]
+        frags[i, : f.size] = f
+        q_lens[i] = f.size
+        wts[i, : f.size] = rng.integers(1, 60, f.size)
+    cons_runs = homopolymer_run_map(cons_arr, cons_lens)
+    STEPS = T + Q
+
+    bv_d, iv_d, cv_d = fused_votes_kernel(
+        jnp.asarray(cons_arr), jnp.asarray(cons_lens), jnp.asarray(cons_runs),
+        jnp.asarray(frags), jnp.asarray(q_lens), jnp.asarray(wts),
+        jnp.asarray(win_of), T, Q, STEPS, NWIN,
+    )
+
+    moves, end_scores, row0 = nw_moves_kernel(
+        jnp.asarray(cons_arr[win_of]), jnp.asarray(cons_lens[win_of]),
+        jnp.asarray(frags), jnp.asarray(q_lens), T, Q,
+    )
+    pt, pq, pmv = traceback_kernel(
+        moves, end_scores, row0, jnp.asarray(q_lens), T, Q, STEPS
+    )
+    bv_h, iv_h, cv_h = consensus_votes(
+        np.asarray(pt), np.asarray(pq), np.asarray(pmv),
+        frags, wts.astype(np.uint8), win_of, n_win, T, cons_runs=cons_runs,
+    )
+    assert np.array_equal(np.asarray(bv_d)[:n_win], bv_h)
+    assert np.array_equal(np.asarray(iv_d)[:n_win], iv_h)
+    assert np.array_equal(np.asarray(cv_d)[:n_win], cv_h)
+
+
 def test_device_consensus_quality(rng):
     windows = []
     truths = []
