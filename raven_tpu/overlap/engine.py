@@ -173,6 +173,24 @@ class MinimizerIndex:
             return False
         if ids.size == 0 or 2 * self.k > 30:
             return False
+        if os.environ.get("RAVEN_TPU_SHARDED_MAP") == "1":
+            # multi-chip path: hash-range-sharded index over the mesh
+            # (parallel.sharded_index; same contract as DeviceIndex)
+            try:
+                from raven_tpu.parallel.sharded_index import ShardedIndex
+
+                self._device = ShardedIndex.build(
+                    readset, ids, self.k, self.w, minhash, with_query_flags
+                )
+            except Exception:
+                self._device = None
+            if self._device is not None:
+                self._hashes = None
+                self._ids = None
+                self._pos = None
+                self._strand = None
+                self._qflag = None
+                return True
         total = int(readset.lengths[np.asarray(ids, np.int64)].sum())
         if mode != "1" and total < self.DEVICE_MIN_BASES:
             return False

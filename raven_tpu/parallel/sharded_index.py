@@ -139,15 +139,569 @@ if HAS_JAX:
             local_pairs = jnp.where(q_valid, rank, 0).sum()
             return jax.lax.psum(local_pairs, axis)
 
-        from jax.experimental.shard_map import shard_map
-
         spec_axis = axis if isinstance(axis, str) else tuple(axis)
         return jax.jit(
-            shard_map(
+            _shard_map(
                 step,
-                mesh=mesh,
-                in_specs=(P(spec_axis, None), P(spec_axis), P(spec_axis)),
-                out_specs=P(),
-                check_rep=False,
+                mesh,
+                (P(spec_axis, None), P(spec_axis), P(spec_axis)),
+                P(),
             )
         )
+
+
+# ===========================================================================
+# ShardedIndex: the full sharded overlap stage (minimize -> filter -> map)
+# ===========================================================================
+#
+# Multi-chip production path with the same interface and match contract as
+# overlap.device_index.DeviceIndex, so the engine's self-join fast path can
+# consume it unchanged.  Data flow per SURVEY §2.4:
+#
+#   1. reads are data-parallel: each device sketches its read shard
+#      (fixed-width segments, ops.sketch.sketch_segments_kernel — the same
+#      kernels as the single-chip path, so entries are bit-identical);
+#   2. minhash ("micromizer") membership flags are computed pre-exchange —
+#      a read's segments are kept on one device so its (rid, hash, pos)
+#      sort is local;
+#   3. ONE all-to-all re-shards entries by hash range: device d owns
+#      [d, d+1) * 2^(2k) / n, so every equal-hash run lands whole on one
+#      device and the self-join (shifted-equality distance join,
+#      overlap/selfjoin.py) is exact with purely local compares;
+#   4. the ram-Filter occurrence threshold is global: a psum'd histogram of
+#      distinct-run lengths gives the exact (1 - f) quantile on the host;
+#   5. per-device matches compact into static buffers and concatenate over
+#      the mesh axis; chaining stays on host (byte-identical overlap sets,
+#      tests/test_sharded_map.py).
+#
+# Reference equivalent: the whole of construct.cc:42-113 run under a mesh.
+
+from raven_tpu.ops.sketch import segment_reads, sketch_segments_kernel
+
+SH_MAX_D = 32  # static shift-distance cap (occurrence > SH_MAX_D + 1 -> host)
+_STRAND_BIT = 29
+_FLAG_BIT = 30
+_POS_MASK = (1 << _STRAND_BIT) - 1
+_INVALID_RID = np.int32(2**31 - 1)
+_HBINS = 512  # run-length histogram bins (occurrence >= _HBINS -> fallback)
+
+
+def _pow2_at_least(v: int, lo: int) -> int:
+    c = lo
+    while c < v:
+        c <<= 1
+    return c
+
+
+if HAS_JAX:
+    def _shard_map(f, mesh, in_specs, out_specs):
+        try:
+            from jax import shard_map
+
+            return shard_map(
+                f,
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                check_vma=False,
+            )
+        except (ImportError, TypeError):  # older jax
+            from jax.experimental.shard_map import shard_map as _sm
+
+            return _sm(
+                f,
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                check_rep=False,
+            )
+
+    def _build_step(mesh, k: int, w: int, cap: int, minhash: bool, need_flags: bool):
+        """Jitted sharded index build: sketch + flags + hash-range exchange.
+
+        Returns a function (codes, eff, rids, base, clo, chi, budget_tbl) ->
+        (key, rid, packed  [global, P(axis)],  n_valid, hist, overflow).
+        """
+        n = mesh.devices.size
+        axis = mesh.axis_names[0]
+        slot = min(cap, max(1, (2 * cap) // n))
+        bits = 2 * k
+
+        def step(codes, eff, rids, base, clo, chi, budget_tbl):
+            key, ids, pos, sb = sketch_segments_kernel(
+                codes, eff, rids, base, clo, chi, k, w
+            )
+            valid = key != UINT32_INF
+            count = valid.sum(dtype=jnp.int32)
+            rid = jnp.where(valid, ids, _INVALID_RID)
+            packed = jnp.where(
+                valid, pos | (sb << _STRAND_BIT), 0
+            ).astype(jnp.int32)
+            # compact to cap (sort also groups by key for the range split)
+            key, rid, packed = jax.lax.sort((key, rid, packed), num_keys=1)
+            key, rid, packed = key[:cap], rid[:cap], packed[:cap]
+            build_overflow = count > cap
+
+            if need_flags or minhash:
+                # minhash subset: rank of entry among its read's entries
+                # (hash asc, ties by position) < read_len // k
+                p = packed & _POS_MASK
+                rid_s, key_s, _, packed_s = jax.lax.sort(
+                    (rid, key, p, packed), num_keys=3
+                )
+                m = key_s.shape[0]
+                idx = jnp.arange(m, dtype=jnp.int32)
+                newread = jnp.concatenate(
+                    [jnp.ones((1,), bool), rid_s[1:] != rid_s[:-1]]
+                )
+                start = jax.lax.cummax(
+                    jnp.where(newread, idx, jnp.int32(-1))
+                )
+                rank = idx - start
+                rid_c = jnp.clip(rid_s, 0, budget_tbl.shape[0] - 1)
+                flag = (rank < budget_tbl[rid_c]) & (rid_s != _INVALID_RID)
+                packed_s = jnp.where(
+                    flag, packed_s | (1 << _FLAG_BIT), packed_s
+                )
+                if minhash:  # ram Minimize(minhash=true): drop unflagged
+                    key_s = jnp.where(flag, key_s, UINT32_INF)
+                key, rid, packed = jax.lax.sort(
+                    (key_s, rid_s, packed_s), num_keys=1
+                )
+
+            # hash-range split: destination d owns [d, d+1) * 2^bits / n
+            edges = jnp.concatenate(
+                [
+                    (
+                        jnp.arange(1, n, dtype=jnp.uint32)
+                        * jnp.uint32(2**bits // n)
+                    ),
+                    jnp.full((1,), UINT32_INF, jnp.uint32),
+                ]
+            )
+            starts = jnp.concatenate(
+                [
+                    jnp.zeros(1, jnp.int32),
+                    jnp.searchsorted(key, edges).astype(jnp.int32),
+                ]
+            )
+            dest_counts = starts[1:] - starts[:-1]
+            exch_overflow = (dest_counts > slot).any()
+
+            def take(d):
+                s = starts[d]
+                e = jnp.minimum(starts[d + 1], s + slot)
+                idx = s + jnp.arange(slot, dtype=jnp.int32)
+                ok = idx < e
+                idx = jnp.clip(idx, 0, cap - 1)
+                return (
+                    jnp.where(ok, key[idx], UINT32_INF),
+                    jnp.where(ok, rid[idx], _INVALID_RID),
+                    jnp.where(ok, packed[idx], 0),
+                )
+
+            outs = [take(d) for d in range(n)]
+            send = [jnp.stack([o[c] for o in outs]) for c in range(3)]
+            recv = [
+                jax.lax.all_to_all(
+                    s, axis, split_axis=0, concat_axis=0, tiled=False
+                ).reshape(-1)
+                for s in send
+            ]
+            key_r, rid_r, packed_r = jax.lax.sort(tuple(recv), num_keys=1)
+
+            # distinct-run length histogram for the global Filter quantile
+            m = key_r.shape[0]
+            idx = jnp.arange(m, dtype=jnp.int32)
+            newrun = jnp.concatenate(
+                [jnp.ones((1,), bool), key_r[1:] != key_r[:-1]]
+            )
+            start = jax.lax.cummax(jnp.where(newrun, idx, jnp.int32(-1)))
+            nxt = jax.lax.cummin(
+                jnp.concatenate(
+                    [
+                        jnp.where(newrun[1:], idx[1:], jnp.int32(m)),
+                        jnp.full((1,), m, jnp.int32),
+                    ]
+                ),
+                reverse=True,
+            )
+            counts = nxt - start
+            isrun = newrun & (key_r != UINT32_INF)
+            hist = (
+                jnp.zeros(_HBINS, jnp.int32)
+                .at[jnp.where(isrun, jnp.clip(counts, 0, _HBINS - 1), 0)]
+                .add(jnp.where(isrun, 1, 0))
+                .at[0]
+                .set(0)
+            )
+            hist = jax.lax.psum(hist, axis)
+            n_valid = jax.lax.psum(
+                (key_r != UINT32_INF).sum(dtype=jnp.int32), axis
+            )
+            overflow = jax.lax.pmax(
+                (build_overflow | exch_overflow).astype(jnp.int32), axis
+            )
+            return key_r, rid_r, packed_r, n_valid, hist, overflow
+
+        return jax.jit(
+            _shard_map(
+                step,
+                mesh,
+                (
+                    P(axis, None),
+                    P(axis),
+                    P(axis),
+                    P(axis),
+                    P(axis),
+                    P(axis),
+                    P(None),
+                ),
+                (P(axis), P(axis), P(axis), P(), P(), P()),
+            )
+        )
+
+    def _join_step(mesh, maxd: int, capd: int, capm: int, capf: int, need_flags: bool):
+        """Jitted sharded distance join over the exchanged index.
+
+        (key, rid, packed [P(axis)], batch_tbl, occurrence) ->
+        (q_id, q_pos, t_id, t_pos, same [P(axis), capm/device],
+         n_matches, match_overflow, f_rid, f_pos [P(axis), capf/device],
+         n_filtered, filt_overflow).
+        """
+        n = mesh.devices.size
+        axis = mesh.axis_names[0]
+
+        def step(key, rid, packed, batch_tbl, occ):
+            m = key.shape[0]
+            idx = jnp.arange(m, dtype=jnp.int32)
+            newrun = jnp.concatenate(
+                [jnp.ones((1,), bool), key[1:] != key[:-1]]
+            )
+            start = jax.lax.cummax(jnp.where(newrun, idx, jnp.int32(-1)))
+            nxt = jax.lax.cummin(
+                jnp.concatenate(
+                    [
+                        jnp.where(newrun[1:], idx[1:], jnp.int32(m)),
+                        jnp.full((1,), m, jnp.int32),
+                    ]
+                ),
+                reverse=True,
+            )
+            counts = nxt - start
+            rid_c = jnp.clip(rid, 0, batch_tbl.shape[0] - 1)
+            inb = (batch_tbl[rid_c] != 0) & (rid != _INVALID_RID)
+            countok = counts <= occ
+
+            parts = []
+            total = jnp.int32(0)
+            overflow = jnp.zeros((), bool)
+            pad_k = jnp.full((maxd,), UINT32_INF, key.dtype)
+            pad_r = jnp.full((maxd,), _INVALID_RID, rid.dtype)
+            kp = jnp.concatenate([pad_k, key])
+            rp = jnp.concatenate([pad_r, rid])
+            pp = jnp.concatenate([jnp.zeros((maxd,), packed.dtype), packed])
+            bp = jnp.concatenate([jnp.zeros((maxd,), bool), inb])
+            for d in range(1, maxd + 1):
+                sh = maxd - d
+                key_j = jax.lax.slice_in_dim(kp, sh, sh + m)
+                rid_j = jax.lax.slice_in_dim(rp, sh, sh + m)
+                packed_j = jax.lax.slice_in_dim(pp, sh, sh + m)
+                inb_j = jax.lax.slice_in_dim(bp, sh, sh + m)
+                eq = (key == key_j) & (key != UINT32_INF)
+                idne = rid != rid_j
+                i_is_q = rid < rid_j
+                inbatch = jnp.where(i_is_q, inb, inb_j)
+                mask = eq & countok & idne & inbatch
+                if need_flags:
+                    q_packed = jnp.where(i_is_q, packed, packed_j)
+                    mask &= ((q_packed >> _FLAG_BIT) & 1) == 1
+                codes = jnp.where(
+                    mask,
+                    idx.astype(jnp.uint32) * jnp.uint32(SH_MAX_D + 1) + d,
+                    jnp.uint32(0xFFFFFFFF),
+                )
+                (codes_s,) = jax.lax.sort((codes,), num_keys=1)
+                parts.append(codes_s[:capd])
+                cnt = mask.sum(dtype=jnp.int32)
+                total += cnt
+                overflow |= cnt > capd
+            (codes,) = jax.lax.sort(
+                (jnp.concatenate(parts),), num_keys=1
+            )
+            codes = codes[:capm]
+            overflow |= total > capm
+
+            i = (codes // jnp.uint32(SH_MAX_D + 1)).astype(jnp.int32)
+            d = (codes % jnp.uint32(SH_MAX_D + 1)).astype(jnp.int32)
+            valid = codes != jnp.uint32(0xFFFFFFFF)
+            i = jnp.where(valid, i, 0)
+            j = jnp.maximum(i - d, 0)
+            rid_i, rid_j = rid[i], rid[j]
+            packed_i, packed_j = packed[i], packed[j]
+            i_is_q = rid_i < rid_j
+            q_id = jnp.minimum(rid_i, rid_j)
+            t_id = jnp.maximum(rid_i, rid_j)
+            q_packed = jnp.where(i_is_q, packed_i, packed_j)
+            t_packed = jnp.where(i_is_q, packed_j, packed_i)
+            same = (
+                (q_packed >> _STRAND_BIT) & 1
+            ) == ((t_packed >> _STRAND_BIT) & 1)
+
+            # too-frequent query-side entries (Pile.AddKmers feed)
+            fmask = (key != UINT32_INF) & (counts > occ) & inb
+            if need_flags:
+                fmask &= ((packed >> _FLAG_BIT) & 1) == 1
+            fcodes = jnp.where(
+                fmask, idx.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF)
+            )
+            (fcodes_s,) = jax.lax.sort((fcodes,), num_keys=1)
+            fcodes_s = fcodes_s[:capf]
+            f_count = fmask.sum(dtype=jnp.int32)
+            fi = jnp.where(
+                fcodes_s != jnp.uint32(0xFFFFFFFF), fcodes_s, 0
+            ).astype(jnp.int32)
+            f_valid = fcodes_s != jnp.uint32(0xFFFFFFFF)
+            f_rid = jnp.where(f_valid, rid[fi], -1)
+            f_pos = packed[fi] & _POS_MASK
+
+            return (
+                jnp.where(valid, q_id, -1),
+                q_packed & _POS_MASK,
+                t_id,
+                t_packed & _POS_MASK,
+                same.astype(jnp.int8),
+                jax.lax.psum(total, axis),
+                jax.lax.pmax(overflow.astype(jnp.int32), axis),
+                f_rid,
+                f_pos,
+                jax.lax.psum(f_count, axis),
+                jax.lax.pmax((f_count > capf).astype(jnp.int32), axis),
+            )
+
+        return jax.jit(
+            _shard_map(
+                step,
+                mesh,
+                (P(axis), P(axis), P(axis), P(None), P()),
+                (
+                    P(axis),
+                    P(axis),
+                    P(axis),
+                    P(axis),
+                    P(axis),
+                    P(),
+                    P(),
+                    P(axis),
+                    P(axis),
+                    P(),
+                    P(),
+                ),
+            )
+        )
+
+
+class ShardedIndex:
+    """Hash-range-sharded minimizer index over a device mesh (see the
+    section comment above).  Same external contract as DeviceIndex."""
+
+    def __init__(self, mesh, key, rid, packed, n_entries, hist, has_flags, k, w):
+        self.mesh = mesh
+        self._key = key  # global [n * n*slot], P(axis)-sharded
+        self._rid = rid
+        self._packed = packed
+        self.n_entries = int(n_entries)
+        self._hist = np.asarray(hist).astype(np.int64)
+        self.has_flags = has_flags
+        self.k = k
+        self.w = w
+
+    # ----------------------------------------------------------------- build
+    @classmethod
+    def build(cls, readset, ids, k, w, minhash, with_flags, mesh=None):
+        if not HAS_JAX or 2 * k > 30:
+            return None
+        if mesh is None:
+            from raven_tpu.parallel.mesh import make_mesh
+
+            if len(jax.devices()) < 2:
+                return None
+            mesh = make_mesh()
+        n = mesh.devices.size
+        ids = np.asarray(ids, dtype=np.int64)
+
+        codes, eff, rids, base, clo, chi = segment_reads(
+            readset, ids, k, w, width=2048
+        )
+        S = codes.shape[0]
+        if S == 0:
+            return None
+        # keep each read's segments on one device (flags are computed
+        # pre-exchange): round-robin reads by cumulative segment count
+        bounds = np.nonzero(
+            np.concatenate([[True], rids[1:] != rids[:-1]])
+        )[0]
+        bounds = np.append(bounds, S)
+        per_dev: list[list[int]] = [[] for _ in range(n)]
+        loads = np.zeros(n, dtype=np.int64)
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            d = int(np.argmin(loads))
+            per_dev[d].extend(range(s0, s1))
+            loads[d] += s1 - s0
+        max_loc = int(loads.max())
+        order = np.full(n * max_loc, -1, dtype=np.int64)
+        for d in range(n):
+            order[d * max_loc : d * max_loc + len(per_dev[d])] = per_dev[d]
+        pad_row = order < 0
+        order = np.maximum(order, 0)
+
+        def arrange(a, fill=0):
+            out = a[order]
+            out[pad_row] = fill
+            return out
+
+        codes = arrange(codes)
+        eff = arrange(eff)
+        rids_a = arrange(rids, fill=int(_INVALID_RID))
+        base = arrange(base)
+        clo = arrange(clo)
+        chi = arrange(chi)
+
+        cap = _pow2_at_least(max(256, int(max_loc * 2048 * 0.45)), 256)
+        budget = (
+            np.asarray(readset.lengths, dtype=np.int64) // k
+        ).astype(np.int32)
+        if budget.size == 0:
+            budget = np.zeros(1, np.int32)
+
+        axis = mesh.axis_names[0]
+        shard1 = NamedSharding(mesh, P(axis))
+        shard2 = NamedSharding(mesh, P(axis, None))
+        repl = NamedSharding(mesh, P(None))
+        step = _build_step(
+            mesh, k, w, cap, bool(minhash), bool(minhash or with_flags)
+        )
+        key, rid, packed, n_valid, hist, overflow = step(
+            jax.device_put(jnp.asarray(codes), shard2),
+            jax.device_put(jnp.asarray(eff), shard1),
+            jax.device_put(jnp.asarray(rids_a), shard1),
+            jax.device_put(jnp.asarray(base), shard1),
+            jax.device_put(jnp.asarray(clo), shard1),
+            jax.device_put(jnp.asarray(chi), shard1),
+            jax.device_put(jnp.asarray(budget), repl),
+        )
+        if int(overflow):
+            return None
+        return cls(
+            mesh,
+            key,
+            rid,
+            packed,
+            int(n_valid),
+            hist,
+            bool(minhash or with_flags),
+            k,
+            w,
+        )
+
+    # ---------------------------------------------------------------- filter
+    def occurrence_for(self, frequency: float) -> int:
+        """Exact ram-Filter quantile from the psum'd run-length histogram
+        (counts ascending; same float64 index arithmetic as the host)."""
+        if frequency <= 0 or self.n_entries == 0:
+            return np.iinfo(np.int64).max
+        n_runs = int(self._hist.sum())
+        if n_runs == 0:
+            return np.iinfo(np.int64).max
+        target = min(int((1.0 - frequency) * n_runs), n_runs - 1)
+        cum = np.cumsum(self._hist)
+        occ = int(np.searchsorted(cum, target + 1))
+        if occ >= _HBINS - 1:  # quantile in the clipped tail: be exact, punt
+            return np.iinfo(np.int64).max
+        return occ
+
+    # ------------------------------------------------------------------ join
+    def distance_join(
+        self,
+        occurrence: int,
+        batch: np.ndarray,
+        need_flags: bool,
+        filtered_out: dict | None = None,
+    ):
+        """Sharded self-join; same contract as DeviceIndex.distance_join
+        (None on capacity overflow -> caller falls back)."""
+        if occurrence > SH_MAX_D + 1:
+            return None
+        if need_flags and not self.has_flags:
+            return None
+        n = self.mesh.devices.size
+        m_local = self._key.shape[0] // n
+        maxd = min(SH_MAX_D, max(occurrence - 1, 1))
+        # hash ranges balance entries, not matches: leave 2x headroom over
+        # the per-device average (overflow still falls back to host)
+        capd = _pow2_at_least(max(8192, m_local >> 1), 8192)
+        capm = _pow2_at_least(max(16384, 2 * m_local), 16384)
+        capf = _pow2_at_least(max(4096, m_local >> 2), 4096)
+
+        axis = self.mesh.axis_names[0]
+        repl = NamedSharding(self.mesh, P(None))
+        batch_tbl = jax.device_put(
+            jnp.asarray(batch.astype(np.uint8)), repl
+        )
+        occ = jax.device_put(
+            jnp.asarray(occurrence, jnp.int32), NamedSharding(self.mesh, P())
+        )
+        step = _join_step(
+            self.mesh, maxd, capd, capm, capf, bool(need_flags)
+        )
+        (
+            q_id,
+            q_pos,
+            t_id,
+            t_pos,
+            same,
+            n_matches,
+            ovf,
+            f_rid,
+            f_pos,
+            n_filt,
+            f_ovf,
+        ) = step(self._key, self._rid, self._packed, batch_tbl, occ)
+        if int(ovf) or int(f_ovf):
+            return None
+        q_id = np.asarray(q_id)
+        valid = q_id >= 0
+        res = (
+            q_id[valid].astype(np.int64),
+            np.asarray(q_pos)[valid].astype(np.int64),
+            np.asarray(t_id)[valid].astype(np.int64),
+            np.asarray(t_pos)[valid].astype(np.int64),
+            np.asarray(same)[valid].astype(np.uint8),
+        )
+        if filtered_out is not None:
+            f_rid = np.asarray(f_rid)
+            fv = f_rid >= 0
+            for r, p in zip(
+                f_rid[fv].tolist(), np.asarray(f_pos)[fv].tolist()
+            ):
+                filtered_out.setdefault(int(r), []).append(int(p))
+        return res
+
+    # ------------------------------------------------------------- host view
+    def to_host(self):
+        """Materialize hash-sorted host columns (generic lookup fallback)."""
+        key = np.asarray(self._key)
+        rid = np.asarray(self._rid)
+        packed = np.asarray(self._packed)
+        valid = key != np.uint32(UINT32_INF)
+        key, rid, packed = key[valid], rid[valid], packed[valid]
+        order = np.argsort(key, kind="stable")
+        key, rid, packed = key[order], rid[order], packed[order]
+        pos = (packed & _POS_MASK).astype(np.uint32)
+        strand = ((packed >> _STRAND_BIT) & 1).astype(np.uint8)
+        flags = (
+            ((packed >> _FLAG_BIT) & 1).astype(bool)
+            if self.has_flags
+            else None
+        )
+        return key.astype(np.uint64), rid.astype(np.uint32), pos, strand, flags

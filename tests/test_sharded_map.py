@@ -1,0 +1,160 @@
+"""Sharded overlap stage (parallel.sharded_index.ShardedIndex) parity.
+
+The multi-chip self-join must reproduce the single-device host path
+byte-for-byte: same occurrence threshold (global Filter quantile), same
+match set, same chained overlaps, same too-frequent positions, and an
+end-to-end construct whose per-stage parity dump is identical.  Runs on
+the virtual 8-device CPU mesh (conftest forces 8 host devices).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from raven_tpu.io import ReadSet
+from tests.conftest import random_genome, sample_reads
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from raven_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def readset(rng):
+    genome = random_genome(rng, 16000)
+    reads, _ = sample_reads(rng, genome, 70, 2200, error=0.04)
+    return ReadSet.from_sequences(reads)
+
+
+def _host_engine(readset, minhash_query):
+    from raven_tpu.overlap.engine import MinimizerIndex
+
+    idx = MinimizerIndex(15, 5)
+    idx.minimize(
+        readset, np.arange(len(readset)), with_query_flags=minhash_query
+    )
+    idx.filter(0.001)
+    filtered = {}
+    anchors = {}
+    ovl = idx.map_many(
+        readset,
+        np.arange(len(readset)),
+        minhash=minhash_query,
+        filtered_out=filtered,
+        anchors_out=anchors,
+    )
+    return idx, ovl, filtered
+
+
+def _sharded_engine(readset, minhash_query, monkeypatch):
+    from raven_tpu.overlap.engine import MinimizerIndex
+    from raven_tpu.parallel.sharded_index import ShardedIndex
+
+    monkeypatch.setenv("RAVEN_TPU_SHARDED_MAP", "1")
+    idx = MinimizerIndex(15, 5)
+    idx.minimize(
+        readset, np.arange(len(readset)), with_query_flags=minhash_query
+    )
+    assert isinstance(idx._device, ShardedIndex), "sharded build must engage"
+    idx.filter(0.001)
+    filtered = {}
+    ovl = idx.map_many(
+        readset,
+        np.arange(len(readset)),
+        minhash=minhash_query,
+        filtered_out=filtered,
+    )
+    # the join must have run sharded, not via host materialization
+    assert idx._hashes is None, "sharded join fell back to host columns"
+    return idx, ovl, filtered
+
+
+@pytest.mark.parametrize("minhash_query", [False, True])
+def test_sharded_overlaps_match_host(
+    readset, mesh8, rng, monkeypatch, minhash_query
+):
+    monkeypatch.setenv("RAVEN_TPU_DEVICE_MAP", "0")
+    h_idx, h_ovl, h_filtered = _host_engine(readset, minhash_query)
+    monkeypatch.delenv("RAVEN_TPU_DEVICE_MAP")
+    s_idx, s_ovl, s_filtered = _sharded_engine(
+        readset, minhash_query, monkeypatch
+    )
+
+    assert s_idx.num_minimizers == h_idx.num_minimizers
+    assert s_idx._occurrence == h_idx._occurrence
+    assert set(s_ovl) == set(h_ovl)
+    for rid in h_ovl:
+        a, b = h_ovl[rid], s_ovl[rid]
+        assert a.shape == b.shape, f"read {rid}: {a.shape} vs {b.shape}"
+        assert np.array_equal(a, b), f"read {rid} overlaps diverge"
+    assert {k: sorted(v) for k, v in h_filtered.items()} == {
+        k: sorted(v) for k, v in s_filtered.items()
+    }
+
+
+def test_sharded_filter_quantile_matches_host(readset, mesh8, monkeypatch):
+    """The psum'd run-length histogram must give the exact host Filter
+    threshold at several frequencies."""
+    from raven_tpu.overlap.engine import MinimizerIndex
+
+    monkeypatch.setenv("RAVEN_TPU_DEVICE_MAP", "0")
+    host = MinimizerIndex(15, 5)
+    host.minimize(readset, np.arange(len(readset)))
+    monkeypatch.delenv("RAVEN_TPU_DEVICE_MAP")
+
+    monkeypatch.setenv("RAVEN_TPU_SHARDED_MAP", "1")
+    sh = MinimizerIndex(15, 5)
+    sh.minimize(readset, np.arange(len(readset)))
+    for f in (0.001, 0.01, 0.05):
+        host.filter(f)
+        sh.filter(f)
+        assert sh._occurrence == host._occurrence, f"frequency {f}"
+
+
+def test_sharded_construct_end_to_end(mesh8, rng, monkeypatch, tmp_path):
+    """Full construct on the 8-device mesh == single-device construct,
+    stage by stage (piles, overlap counts, edges via the parity dump)."""
+    import json
+
+    from raven_tpu.config import OverlapPhaseCfg
+    from raven_tpu.graph import Graph, construct_graph
+
+    genome = random_genome(rng, 20000)
+    reads, _ = sample_reads(rng, genome, 90, 2500, error=0.04)
+
+    def run(tag, sharded):
+        rs = ReadSet.from_sequences(reads)
+        if sharded:
+            monkeypatch.setenv("RAVEN_TPU_SHARDED_MAP", "1")
+        else:
+            monkeypatch.setenv("RAVEN_TPU_DEVICE_MAP", "0")
+        monkeypatch.setenv("RAVEN_TPU_STAGE_DUMP", str(tmp_path / tag))
+        try:
+            g = Graph()
+            construct_graph(g, rs, OverlapPhaseCfg(use_minhash=True))
+        finally:
+            monkeypatch.delenv("RAVEN_TPU_STAGE_DUMP")
+            monkeypatch.delenv(
+                "RAVEN_TPU_SHARDED_MAP" if sharded else "RAVEN_TPU_DEVICE_MAP"
+            )
+        recs = []
+        with open(tmp_path / tag / "stages.jsonl") as fh:
+            for line in fh:
+                recs.append(json.loads(line))
+        return g, recs
+
+    g_host, recs_host = run("host", sharded=False)
+    g_shard, recs_shard = run("shard", sharded=True)
+
+    assert recs_shard == recs_host, "per-stage parity dump diverged"
+    live_h = sorted(n.id for n in g_host.live_nodes())
+    live_s = sorted(n.id for n in g_shard.live_nodes())
+    assert live_s == live_h
