@@ -186,6 +186,14 @@ _INVALID_RID = np.int32(2**31 - 1)
 _HBINS = 512  # run-length histogram bins (occurrence >= _HBINS -> fallback)
 
 
+def _mesh_axis(mesh):
+    """Collective axis spec covering ALL mesh axes: multi-axis meshes (the
+    multi-host ('data', 'shard') layout) flatten into one logical shard
+    ring for the hash-range exchange."""
+    names = mesh.axis_names
+    return names[0] if len(names) == 1 else tuple(names)
+
+
 def _pow2_at_least(v: int, lo: int) -> int:
     c = lo
     while c < v:
@@ -223,7 +231,7 @@ if HAS_JAX:
         (key, rid, packed  [global, P(axis)],  n_valid, hist, overflow).
         """
         n = mesh.devices.size
-        axis = mesh.axis_names[0]
+        axis = _mesh_axis(mesh)
         slot = min(cap, max(1, (2 * cap) // n))
         bits = 2 * k
 
@@ -370,7 +378,7 @@ if HAS_JAX:
          n_filtered, filt_overflow).
         """
         n = mesh.devices.size
-        axis = mesh.axis_names[0]
+        axis = _mesh_axis(mesh)
 
         def step(key, rid, packed, batch_tbl, occ):
             m = key.shape[0]
@@ -574,7 +582,7 @@ class ShardedIndex:
         if budget.size == 0:
             budget = np.zeros(1, np.int32)
 
-        axis = mesh.axis_names[0]
+        axis = _mesh_axis(mesh)
         shard1 = NamedSharding(mesh, P(axis))
         shard2 = NamedSharding(mesh, P(axis, None))
         repl = NamedSharding(mesh, P(None))

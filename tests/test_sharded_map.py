@@ -119,6 +119,41 @@ def test_sharded_filter_quantile_matches_host(readset, mesh8, monkeypatch):
         assert sh._occurrence == host._occurrence, f"frequency {f}"
 
 
+def test_two_axis_mesh_sharded_index(readset, monkeypatch):
+    """The multi-host ('data', 'shard') mesh layout must produce the same
+    index, threshold, and matches as the flat mesh (collectives flatten
+    over both axes)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from raven_tpu.overlap import selfjoin
+    from raven_tpu.overlap.engine import MinimizerIndex
+    from raven_tpu.parallel.distributed import make_data_shard_mesh
+    from raven_tpu.parallel.sharded_index import ShardedIndex
+
+    mesh = make_data_shard_mesh(2, 4)
+    ids = np.arange(len(readset))
+    si = ShardedIndex.build(readset, ids, 15, 5, False, True, mesh=mesh)
+    assert si is not None
+
+    monkeypatch.setenv("RAVEN_TPU_DEVICE_MAP", "0")
+    host = MinimizerIndex(15, 5)
+    host.minimize(readset, ids, with_query_flags=True)
+    host.filter(0.001)
+    assert si.n_entries == host.num_minimizers
+    occ = si.occurrence_for(0.001)
+    assert occ == host._occurrence
+
+    batch = np.ones(len(readset), bool)
+    m = si.distance_join(occ, batch, need_flags=True)
+    assert m is not None
+    h = selfjoin.distance_join(
+        host._hashes, host._ids, host._pos, host._strand,
+        host._qflag, occ, batch,
+    )
+    key = lambda t: sorted(zip(*(a.tolist() for a in t)))
+    assert key(m) == key(h)
+
+
 def test_sharded_construct_end_to_end(mesh8, rng, monkeypatch, tmp_path):
     """Full construct on the 8-device mesh == single-device construct,
     stage by stage (piles, overlap counts, edges via the parity dump)."""
