@@ -251,29 +251,34 @@ def find_overlaps_and_repetitive_regions(
 
     def merge(ovl: np.ndarray) -> None:
         """OverlapUpdate + typing + adjacent same-pair dedup keeping the
-        longer (construct.cc:430-455)."""
+        longer (construct.cc:430-455), vectorized: runs of equal
+        (lhs, rhs) pairs collapse to the first entry attaining the run's
+        maximum length (the scalar scan replaces only on strictly-longer,
+        which selects exactly that element)."""
         upd, keep = ou.overlap_update(ovl, piles)
         upd = upd[keep]
         if upd.size == 0:
             return
         t = ou.get_overlap_type(upd, piles)
-        for lhs in upd["lhs_id"][t == 1]:
-            piles.is_contained[int(lhs)] = True
-        for rhs in upd["rhs_id"][t == 2]:
-            piles.is_contained[int(rhs)] = True
+        piles.is_contained[upd["lhs_id"][t == 1].astype(np.int64)] = True
+        piles.is_contained[upd["rhs_id"][t == 2].astype(np.int64)] = True
         dovetail = upd[t >= 3]
-        for o in dovetail:
-            if (
-                kept
-                and kept[-1]["lhs_id"] == o["lhs_id"]
-                and kept[-1]["rhs_id"] == o["rhs_id"]
-            ):
-                if overlap_length(kept[-1].reshape(1))[0] < overlap_length(
-                    o.reshape(1)
-                )[0]:
-                    kept[-1] = o
-            else:
-                kept.append(o)
+        n = dovetail.size
+        if n == 0:
+            return
+        # merge() is called once per query read (all lhs_id equal), so a
+        # duplicate run never spans two calls; dedup within the batch
+        same_prev = (
+            (dovetail["lhs_id"][1:] == dovetail["lhs_id"][:-1])
+            & (dovetail["rhs_id"][1:] == dovetail["rhs_id"][:-1])
+        )
+        run_id = np.concatenate([[0], np.cumsum(~same_prev)])
+        lens = overlap_length(dovetail)
+        order = np.lexsort((np.arange(n), -lens, run_id))
+        first = np.concatenate(
+            [[True], run_id[order][1:] != run_id[order][:-1]]
+        )
+        kept.append(dovetail[np.sort(order[first])])
 
     bytes_acc = 0
     batch_start = 0
@@ -336,7 +341,7 @@ def find_overlaps_and_repetitive_regions(
             piles.is_invalid[i] = True
 
     result = (
-        np.array(kept, dtype=OVERLAP_DTYPE)
+        np.concatenate(kept)
         if kept
         else np.zeros(0, dtype=OVERLAP_DTYPE)
     )
@@ -362,24 +367,25 @@ def resolve_repeat_induced_overlaps(
             for i in comp:
                 piles.find_repetitive_regions(i, median)
 
-        for o in overlaps:
-            for side in ("lhs", "rhs"):
-                piles.update_repetitive_regions(
-                    int(o[f"{side}_id"]),
-                    int(o[f"{side}_begin"]),
-                    int(o[f"{side}_end"]),
-                )
+        # both sides of every overlap in one vectorized pass (the scalar
+        # per-overlap loop is the O(overlaps x regions) hot spot at scale;
+        # batch semantics oracle-tested in tests/test_pile.py)
+        side_ids = np.concatenate(
+            [overlaps["lhs_id"], overlaps["rhs_id"]]
+        ).astype(np.int64)
+        side_begins = np.concatenate(
+            [overlaps["lhs_begin"], overlaps["rhs_begin"]]
+        ).astype(np.int64)
+        side_ends = np.concatenate(
+            [overlaps["lhs_end"], overlaps["rhs_end"]]
+        ).astype(np.int64)
+        piles.update_repetitive_regions_batch(side_ids, side_begins, side_ends)
 
-        keep = np.ones(overlaps.size, dtype=bool)
-        changed = False
-        for j, o in enumerate(overlaps):
-            if piles.check_repetitive_regions(
-                int(o["lhs_id"]), int(o["lhs_begin"]), int(o["lhs_end"])
-            ) or piles.check_repetitive_regions(
-                int(o["rhs_id"]), int(o["rhs_begin"]), int(o["rhs_end"])
-            ):
-                changed = True
-                keep[j] = False
+        blocked = piles.check_repetitive_regions_batch(
+            side_ids, side_begins, side_ends
+        )
+        keep = ~(blocked[: overlaps.size] | blocked[overlaps.size :])
+        changed = bool((~keep).any())
         overlaps = overlaps[keep]
 
         if not changed:

@@ -1,16 +1,20 @@
-"""Single-device overlap-candidate generation step.
+"""Single-device overlap-candidate kernels (METRIC/DRYRUN ONLY).
 
-The benchmark hot path: sketch a read batch (VPU), build the sorted
-minimizer index on device (lax.sort), join every query minimizer against it
-(vectorized binary search + capped gather), and emit candidate anchor
-matches (query id/pos, target id/pos, relative strand).  This is the
-device replacement for the reference's ram Map fan-out
-(construct.cc:57-113); chaining consumes the matches downstream.
+The PRODUCTION device overlap path is raven_tpu.overlap.device_index
+(exact self-join with overflow-checked capacities, digest-identical to
+the host path).  The kernels here serve the compile-check entry point
+and quick throughput metrics:
 
-All shapes are static: the index is padded to `capacity` with u32-max
-sentinels, hits per query minimizer are capped at `max_hits` (frequency
-filtering makes deep buckets rare; the reference analogously skips
-too-frequent minimizers, ram Filter semantics).
+  * overlap_candidates_kernel — sketch + sorted-index join emitting
+    capped candidate matches (hits beyond `max_hits` per minimizer are
+    DROPPED, no overflow signal);
+  * candidate_count_kernel / join_count_filtered_kernel — candidate-pair
+    COUNTS; candidate_count_kernel is knowingly approximate when one
+    read repeats a hash within a bucket.
+
+None of these may back a correctness path — anything feeding the
+assembler must go through device_index / sharded_index, whose capacity
+overflows are detected and fall back to the host join.
 """
 
 from __future__ import annotations

@@ -123,10 +123,18 @@ if HAS_PALLAS:
         jax.jit, static_argnames=("k", "w", "interpret")
     )
     def pallas_sketch(codes, lengths, k: int, w: int, interpret: bool = False):
-        """codes: [S, L] uint8/uint32 (S divisible by BLOCK); lengths [S].
-        Returns (hash u32, strand bool, keep bool), all [S, L]."""
+        """codes: [S, L] uint8/uint32; lengths [S].
+        Returns (hash u32, strand bool, keep bool), all [S, L].
+
+        S is padded up to a BLOCK multiple internally (a grid of S // BLOCK
+        would silently skip the remainder rows — caught by misc/tpu_smoke.py
+        on hardware; padded rows have length 0 so they emit nothing)."""
         S, L = codes.shape
-        grid = (S // BLOCK,)
+        S_pad = -(-S // BLOCK) * BLOCK
+        if S_pad != S:
+            codes = jnp.pad(codes, ((0, S_pad - S), (0, 0)))
+            lengths = jnp.pad(lengths, (0, S_pad - S))
+        grid = (S_pad // BLOCK,)
         kernel = functools.partial(_sketch_tile_kernel, k=k, w=w, L=L)
         h, strand, keep = pl.pallas_call(
             kernel,
@@ -151,10 +159,17 @@ if HAS_PALLAS:
                 ),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((S, L), jnp.int32),
-                jax.ShapeDtypeStruct((S, L), jnp.int32),
-                jax.ShapeDtypeStruct((S, L), jnp.int32),
+                jax.ShapeDtypeStruct((S_pad, L), jnp.int32),
+                jax.ShapeDtypeStruct((S_pad, L), jnp.int32),
+                jax.ShapeDtypeStruct((S_pad, L), jnp.int32),
             ],
             interpret=interpret,
-        )(codes.astype(jnp.int32), lengths.astype(jnp.int32).reshape(S, 1))
-        return h.astype(jnp.uint32), strand.astype(bool), keep.astype(bool)
+        )(
+            codes.astype(jnp.int32),
+            lengths.astype(jnp.int32).reshape(S_pad, 1),
+        )
+        return (
+            h[:S].astype(jnp.uint32),
+            strand[:S].astype(bool),
+            keep[:S].astype(bool),
+        )

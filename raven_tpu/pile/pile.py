@@ -504,3 +504,116 @@ class Piles:
 
     def clear_repetitive_regions(self, i: int):
         self.repetitive_regions[i] = []
+
+    # ------------------------------------------- batched repeat-region ops
+    def _region_table(self):
+        """Flatten per-read repetitive regions into (read, rf, rs) columns
+        plus per-read CSR offsets into them (empty reads -> empty span).
+        The stage -4 fixed point is O(overlaps x regions) and pure python
+        in scalar form; the batched form joins the overlap sides to the
+        region rows of their read and evaluates both predicates as array
+        expressions (semantics oracle-tested against the scalar methods)."""
+        rows_read: list[int] = []
+        rows_rf: list[int] = []
+        rows_rs: list[int] = []
+        starts = np.zeros(self.n + 1, dtype=np.int64)
+        for i in range(self.n):
+            regs = self.repetitive_regions[i]
+            starts[i + 1] = starts[i] + len(regs)
+            for rf, rs in regs:
+                rows_read.append(i)
+                rows_rf.append(rf)
+                rows_rs.append(rs)
+        return (
+            np.array(rows_read, dtype=np.int64),
+            np.array(rows_rf, dtype=np.int64),
+            np.array(rows_rs, dtype=np.int64),
+            starts,
+        )
+
+    def _region_join(self, starts, ids):
+        """Expand overlap-side rows to one row per (side, region) pair."""
+        counts = (starts[ids + 1] - starts[ids]).astype(np.int64)
+        total = int(counts.sum())
+        side_idx = np.repeat(np.arange(ids.size, dtype=np.int64), counts)
+        offsets = np.repeat(np.cumsum(counts) - counts, counts)
+        reg_idx = (
+            np.arange(total, dtype=np.int64) - offsets
+            + np.repeat(starts[ids], counts)
+        )
+        return side_idx, reg_idx
+
+    def update_repetitive_regions_batch(self, ids, begins, ends) -> None:
+        """Vectorized update_repetitive_regions over many (read, begin,
+        end) overlap sides at once (reference pile.cc:319-342)."""
+        ids = np.asarray(ids, dtype=np.int64)
+        if ids.size == 0:
+            return
+        r_read, r_rf, r_rs, starts = self._region_table()
+        if r_read.size == 0:
+            return
+        side_idx, reg_idx = self._region_join(starts, ids)
+        if side_idx.size == 0:
+            return
+        b = np.asarray(begins, dtype=np.int64)[side_idx] >> K_PSS
+        e = np.asarray(ends, dtype=np.int64)[side_idx] >> K_PSS
+        i = r_read[reg_idx]
+        rf = r_rf[reg_idx]
+        rs = r_rs[reg_idx]
+        lo = self.begin[i].astype(np.int64)
+        hi = self.end[i].astype(np.int64)
+        offset = (0.1 * (hi - lo)).astype(np.int64)
+        fuzz = _REPEAT_FUZZ
+
+        cond0 = (b < rs) & ((rf >> 1) < e)
+        first_guard = ((rf >> 1) < lo + offset) & (b - lo < hi - e)
+        set1 = first_guard & (e >= rs + fuzz)
+        set2 = (
+            ~first_guard
+            & (rs > hi - offset)
+            & (b - lo > hi - e)
+            & (b + fuzz <= (rf >> 1))
+        )
+        setbit = cond0 & (set1 | set2)
+        if not setbit.any():
+            return
+        hit = np.zeros(r_read.size, dtype=bool)
+        np.logical_or.at(hit, reg_idx[setbit], True)
+        for ridx in np.nonzero(hit)[0]:
+            i0 = int(r_read[ridx])
+            k = int(ridx - starts[i0])
+            rf0, rs0 = self.repetitive_regions[i0][k]
+            self.repetitive_regions[i0][k] = (rf0 | 1, rs0)
+
+    def check_repetitive_regions_batch(self, ids, begins, ends) -> np.ndarray:
+        """Vectorized check_repetitive_regions; returns a bool per side
+        (reference pile.cc:344-369)."""
+        ids = np.asarray(ids, dtype=np.int64)
+        out = np.zeros(ids.size, dtype=bool)
+        if ids.size == 0:
+            return out
+        r_read, r_rf, r_rs, starts = self._region_table()
+        if r_read.size == 0:
+            return out
+        side_idx, reg_idx = self._region_join(starts, ids)
+        if side_idx.size == 0:
+            return out
+        b = np.asarray(begins, dtype=np.int64)[side_idx] >> K_PSS
+        e = np.asarray(ends, dtype=np.int64)[side_idx] >> K_PSS
+        i = r_read[reg_idx]
+        rf = r_rf[reg_idx]
+        rs = r_rs[reg_idx]
+        lo = self.begin[i].astype(np.int64)
+        hi = self.end[i].astype(np.int64)
+        offset = (0.1 * (hi - lo)).astype(np.int64)
+        fuzz = _REPEAT_FUZZ
+
+        cond0 = (b < rs) & ((rf >> 1) < e)
+        first_guard = (rf >> 1) < lo + offset
+        blocked = cond0 & (rf & 1).astype(bool) & (
+            (first_guard & (e < rs + fuzz))
+            | (~first_guard & (rs > hi - offset) & (b + fuzz > (rf >> 1)))
+        )
+        if blocked.any():
+            np.logical_or.at(out, side_idx[blocked], True)
+        return out

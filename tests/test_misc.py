@@ -78,3 +78,25 @@ def test_plotter_renders_layout(small_graph, tmp_path):
     # layout JSON may be empty if the graph has no junction component; the
     # writer must still emit valid JSON
     assert isinstance(data, dict)
+
+
+def test_native_sanitizer_gate():
+    """Build + run the native modules under ASan/UBSan (the reference
+    force-enables ASan, RavenLib.cmake:13-23).  Skipped without g++."""
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        import pytest
+
+        pytest.skip("no g++")
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [os.path.join(repo, "misc", "native_sanitize.sh")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr

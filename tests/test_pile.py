@@ -185,3 +185,52 @@ def test_low_complexity_kmers_filtered():
     # random k-mer passes
     rnd = np.array([0, 1, 2, 3, 1, 0, 2, 1, 3, 0, 2, 3, 1, 2, 0], dtype=np.uint8)
     assert _kmer_is_complex(rnd, 15)
+
+
+def test_repetitive_region_batch_matches_scalar(rng):
+    """update/check_repetitive_regions_batch must reproduce the scalar
+    methods exactly on randomized regions and overlap sides."""
+    import copy
+
+    from raven_tpu.pile.pile import K_PSS, Piles
+
+    n = 24
+    lengths = rng.integers(4000, 16000, n).astype(np.int64)
+    piles_a = Piles(lengths)
+    for i in range(n):
+        piles_a.begin[i] = int(lengths[i] // 50) >> K_PSS
+        piles_a.end[i] = int(lengths[i] - lengths[i] // 40) >> K_PSS
+        regions = []
+        for _ in range(int(rng.integers(0, 4))):
+            b = int(rng.integers(0, max(1, (lengths[i] >> K_PSS) - 20)))
+            e = int(b + rng.integers(5, 200))
+            bit = int(rng.integers(0, 2))
+            regions.append(((b << 1) | bit, e))
+        piles_a.repetitive_regions[i] = regions
+    piles_b = copy.deepcopy(piles_a)
+
+    m = 300
+    ids = rng.integers(0, n, m).astype(np.int64)
+    begins = np.array(
+        [rng.integers(0, max(1, lengths[i] - 100)) for i in ids],
+        dtype=np.int64,
+    )
+    ends = begins + np.array(
+        [rng.integers(50, 4000) for _ in range(m)], dtype=np.int64
+    )
+    ends = np.minimum(ends, lengths[ids])
+
+    for i, b, e in zip(ids, begins, ends):
+        piles_a.update_repetitive_regions(int(i), int(b), int(e))
+    piles_b.update_repetitive_regions_batch(ids, begins, ends)
+    for i in range(n):
+        assert piles_b.repetitive_regions[i] == piles_a.repetitive_regions[i]
+
+    scalar = np.array(
+        [
+            piles_a.check_repetitive_regions(int(i), int(b), int(e))
+            for i, b, e in zip(ids, begins, ends)
+        ]
+    )
+    batch = piles_b.check_repetitive_regions_batch(ids, begins, ends)
+    assert np.array_equal(batch, scalar)

@@ -120,3 +120,49 @@ def test_selfjoin_incompatible_falls_back():
     assert not index._selfjoin_compatible(
         np.array([0, len(rs) + 5]), True, True, True
     )
+
+
+def test_filter_distribution_contract():
+    """ram Filter semantics pinned at the distribution level: filter(f)
+    must pick the smallest occurrence threshold that keeps at least
+    (1 - f) of the DISTINCT minimizers usable, and map-time queries must
+    drop exactly the runs above it (reference ram engine Filter, used at
+    construct.cc:44)."""
+    rs = _readset(seed=11)
+    index = MinimizerIndex(15, 5)
+    index.minimize(rs, np.arange(len(rs)))
+    counts = index._uniq_count
+    n = counts.size
+    for f in (0.001, 0.01, 0.05):
+        index.filter(f)
+        occ = index._occurrence
+        kept = (counts <= occ).sum() / n
+        assert kept >= 1.0 - f, (f, occ, kept)
+        # minimality: one step tighter would drop below the target,
+        # unless the quantile landed inside a tie plateau
+        tighter = (counts <= occ - 1).sum() / n
+        sorted_counts = np.sort(counts)
+        idx = min(int((1.0 - f) * n), n - 1)
+        assert occ == int(sorted_counts[idx])
+        if tighter >= 1.0 - f:
+            assert int(sorted_counts[idx]) == occ  # tie plateau case
+    # behavioral check: with an aggressive filter, high-frequency runs
+    # are reported in filtered_out and never produce matches
+    index.filter(0.05)
+    occ = index._occurrence
+    hot = set(index._uniq[index._uniq_count > occ].tolist())
+    assert hot, "degenerate test: no run above the threshold"
+    filtered = {}
+    res = index.map_many(
+        rs, np.arange(len(rs)), minhash=False, filtered_out=filtered
+    )
+    assert filtered, "aggressive filter must report filtered positions"
+    # no emitted overlap may be built on a filtered-out-only read pair:
+    # weaker but order-independent — total matches shrink vs no filter
+    index2 = MinimizerIndex(15, 5)
+    index2.minimize(rs, np.arange(len(rs)))
+    index2.filter(0.0)
+    res_all = index2.map_many(rs, np.arange(len(rs)), minhash=False)
+    n_f = sum(v.size for v in res.values())
+    n_all = sum(v.size for v in res_all.values())
+    assert n_f <= n_all
