@@ -224,19 +224,60 @@ if HAS_JAX:
         rid_c = jnp.clip(rid, 0, batch_tbl.shape[0] - 1)
         return (batch_tbl[rid_c] != 0) & (rid != _INVALID_RID)
 
-    @functools.partial(jax.jit, static_argnames=("capd", "need_flags"))
-    def _join_distance(
-        key, rid, packed, counts, inb, occurrence, d, capd, need_flags
+    @jax.jit
+    def _usable_count(key, counts, occ):
+        """Entries participating in the join: run length in [2, occ]."""
+        usable = (key != UINT32_INF) & (counts >= 2) & (counts <= occ)
+        return usable.sum(dtype=jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("M",))
+    def _compact_usable(key, rid, packed, counts, occ, M):
+        """Count-sorted compaction of the join-usable entries.
+
+        60%+ of index entries sit in singleton runs (unique minimizers) and
+        a few more in too-frequent runs; none of them can emit a pair.  One
+        (count, key) sort moves the usable entries to a dense prefix in
+        run-length order, so (a) every per-distance pass runs over the
+        small compacted table instead of the full index, and (b) distance d
+        only needs the suffix where count > d (a run of length c emits
+        pairs only at distances < c).  Runs stay contiguous: all entries of
+        a run share (count, key).  Returns the compacted columns [:M], plus
+        suffix[d] = #usable entries with count > d for d in [0, MAX_D]
+        (suffix[0] = total usable).
+        """
+        usable = (key != UINT32_INF) & (counts >= 2) & (counts <= occ)
+        primary = jnp.where(usable, counts, jnp.int32(2**31 - 1))
+        p_s, key_s, rid_s, packed_s, counts_s = jax.lax.sort(
+            (primary, key, rid, packed, counts), num_keys=2
+        )
+        suffix = jnp.stack(
+            [
+                (usable & (counts > d)).sum(dtype=jnp.int32)
+                for d in range(0, MAX_D + 1)
+            ]
+        )
+        return key_s[:M], rid_s[:M], packed_s[:M], counts_s[:M], suffix
+
+    @functools.partial(
+        jax.jit, static_argnames=("S", "capd", "need_flags")
+    )
+    def _join_distance_slab(
+        key, rid, packed, counts, inb, occurrence, d, start, S, capd,
+        need_flags,
     ):
-        """Matches at one shift distance `d` (traced scalar -> one compile
-        serves every d): pair (i, j = i - d) is valid iff keys equal, the
-        run is not too frequent, the reads differ, the smaller-id side is
-        in the map batch, and (minhash queries) the smaller-id side's entry
-        carries the subset flag.  Valid pair indices are compacted by a
-        sort into codes = i * (MAX_D + 1) + d, capped at `capd`.  Pure
-        elementwise shifted compares — the per-entry batch gather is
-        precomputed in `inb`."""
-        n = key.shape[0]
+        """_join_distance over a length-S slab of the compacted table at
+        traced offset `start` (the count-sorted suffix where runs are long
+        enough to emit distance-d pairs; see _compact_usable).  `start` is
+        chosen on the host so the slab's left edge is either the exact
+        count>d run boundary or inside the count<=d region, where no
+        distance-d pair can cross it.  Emitted codes carry the GLOBAL
+        compacted index (start + local)."""
+        key = jax.lax.dynamic_slice_in_dim(key, start, S)
+        rid = jax.lax.dynamic_slice_in_dim(rid, start, S)
+        packed = jax.lax.dynamic_slice_in_dim(packed, start, S)
+        counts = jax.lax.dynamic_slice_in_dim(counts, start, S)
+        inb = jax.lax.dynamic_slice_in_dim(inb, start, S)
+
         pad = jnp.full((MAX_D,), UINT32_INF, key.dtype)
         kp = jnp.concatenate([pad, key])
         rp = jnp.concatenate(
@@ -245,10 +286,10 @@ if HAS_JAX:
         pp = jnp.concatenate([jnp.zeros((MAX_D,), packed.dtype), packed])
         bp = jnp.concatenate([jnp.zeros((MAX_D,), bool), inb])
         sh = MAX_D - d
-        key_j = jax.lax.dynamic_slice_in_dim(kp, sh, n)
-        rid_j = jax.lax.dynamic_slice_in_dim(rp, sh, n)
-        packed_j = jax.lax.dynamic_slice_in_dim(pp, sh, n)
-        inb_j = jax.lax.dynamic_slice_in_dim(bp, sh, n)
+        key_j = jax.lax.dynamic_slice_in_dim(kp, sh, S)
+        rid_j = jax.lax.dynamic_slice_in_dim(rp, sh, S)
+        packed_j = jax.lax.dynamic_slice_in_dim(pp, sh, S)
+        inb_j = jax.lax.dynamic_slice_in_dim(bp, sh, S)
 
         eq = (key == key_j) & (key != UINT32_INF)
         ok = counts <= occurrence
@@ -259,19 +300,15 @@ if HAS_JAX:
         if need_flags:
             q_packed = jnp.where(i_is_q, packed, packed_j)
             mask &= ((q_packed >> _FLAG_BIT) & 1) == 1
-        idx = jnp.arange(n, dtype=jnp.uint32)
+        gidx = start.astype(jnp.uint32) + jnp.arange(S, dtype=jnp.uint32)
         codes = jnp.where(
             mask,
-            idx * jnp.uint32(MAX_D + 1) + d.astype(jnp.uint32),
+            gidx * jnp.uint32(MAX_D + 1) + d.astype(jnp.uint32),
             jnp.uint32(0xFFFFFFFF),
         )
         count = mask.sum(dtype=jnp.int32)
-        # blocked compaction: a row sort over [R, 16384] costs ~1/3 of a
-        # flat n-element sort (bitonic depth scales with log^2 of the run);
-        # row prefixes keep inter-row sentinel holes, which the final
-        # flatten sort removes.  capd = R * capr.
-        C = min(n, 1 << 14)
-        R = n // C
+        C = min(S, 1 << 14)
+        R = S // C
         capr = capd // R
         codes_s = jax.lax.sort(codes.reshape(R, C), dimension=1)
         rowcounts = mask.reshape(R, C).sum(axis=1, dtype=jnp.int32)
@@ -279,11 +316,18 @@ if HAS_JAX:
         return codes_s[:, :capr].reshape(-1), count, overflow
 
     @functools.partial(jax.jit, static_argnames=("capj",))
-    def _join_flatten(codes_stack, capj):
-        """Flatten the per-distance compacted code buffers into one dense
-        stream (second-level sort compaction)."""
-        (codes_s,) = jax.lax.sort((codes_stack.reshape(-1),), num_keys=1)
-        return codes_s[:capj]
+    def _join_flatten_concat(code_parts, capj):
+        """Flatten variable-size per-distance code buffers into one dense
+        stream (second-level sort compaction).  The output is exactly capj
+        long — sentinel-padded when the concat is shorter — so the
+        reconstruction slab walk never hits a dynamic_slice start clamp
+        (which would silently return entries from the wrong offset)."""
+        (codes_s,) = jax.lax.sort(
+            (jnp.concatenate(code_parts),), num_keys=1
+        )
+        n = min(codes_s.shape[0], capj)
+        out = jnp.full((capj,), jnp.uint32(0xFFFFFFFF))
+        return out.at[:n].set(codes_s[:n])
 
     # pair/entry reconstruction runs in fixed slabs: a single gather over
     # the whole compacted stream at full index size is exactly the
@@ -362,6 +406,8 @@ class DeviceIndex:
         self._packed = packed  # [N] int32: pos | strand<<29 | flag<<30
         self._counts = None  # [N] int32 run lengths (lazy)
         self._newrun = None
+        self._jcache = None  # (occurrence, key, rid, packed, counts, M,
+        #                      suffix[]) — count-sorted compacted join table
         self.n_entries = int(n_entries)
         self.has_flags = has_flags
         self.k = k
@@ -494,31 +540,65 @@ class DeviceIndex:
         if need_flags and not self.has_flags:
             return None
         self._ensure_counts()
-        N = self._key.shape[0]
-        C = min(N, 1 << 14)
-        capj = max(1 << 14, N >> 1)
         maxd = min(MAX_D, max(occurrence - 1, 1))
 
+        # count-sorted compacted join table (cached per occurrence):
+        # singleton and too-frequent runs can never pair, so every
+        # per-distance pass runs over the usable prefix only, and distance
+        # d over just the suffix of runs longer than d
+        if self._jcache is None or self._jcache[0] != occurrence:
+            n_usable = int(
+                _usable_count(
+                    self._key, self._counts, jnp.int32(occurrence)
+                )
+            )
+            M = _pow2_at_least(max(n_usable, 1), 1 << 12, 1 << 26)
+            if n_usable > M:
+                return None
+            jkey, jrid, jpacked, jcounts, suffix = _compact_usable(
+                self._key,
+                self._rid,
+                self._packed,
+                self._counts,
+                jnp.int32(occurrence),
+                M,
+            )
+            self._jcache = (
+                occurrence, jkey, jrid, jpacked, jcounts, M,
+                np.asarray(suffix),
+            )
+        _, jkey, jrid, jpacked, jcounts, M, suffix = self._jcache
+        n_usable = int(suffix[0])
+
         batch_tbl = jnp.asarray(batch.astype(np.uint8))
-        inb = _entry_inbatch(self._rid, batch_tbl)
+        inb = _entry_inbatch(jrid, batch_tbl)
         occ = jnp.int32(occurrence)
         code_parts = counts = None
-        # row-capacity ladder: the tight capacity wins at assembly scale
-        # (match density ~1% of entries); dense small inputs retry wider
-        for shift in (3, 1):
-            capd = (N // C) * max(64, C >> shift)
+        # row-capacity ladder: the tight capacity wins at assembly scale;
+        # dense small inputs retry wider (shift 0 = uncapped rows, cannot
+        # overflow, so the device join never falls back for capacity)
+        for shift in (2, 0):
             code_parts = []
             counts = []
             overflows = []
             for d in range(1, maxd + 1):
-                codes_d, count_d, ovf_d = _join_distance(
-                    self._key,
-                    self._rid,
-                    self._packed,
-                    self._counts,
+                suf = int(suffix[d]) if d <= MAX_D else 0
+                if suf <= 0:
+                    continue
+                S = _pow2_at_least(suf, 1 << 12, M)
+                start = max(0, min(n_usable - suf, M - S))
+                C = min(S, 1 << 14)
+                capd = (S // C) * max(64, C >> shift)
+                codes_d, count_d, ovf_d = _join_distance_slab(
+                    jkey,
+                    jrid,
+                    jpacked,
+                    jcounts,
                     inb,
                     occ,
                     jnp.int32(d),
+                    jnp.int32(start),
+                    S,
                     capd,
                     bool(need_flags),
                 )
@@ -528,21 +608,24 @@ class DeviceIndex:
             if not any(bool(o) for o in overflows):
                 break
             code_parts = None
-        if code_parts is None:
-            return None  # rows clipped real matches even at the widest cap
         counts = [int(c) for c in counts]
         total = sum(counts)
-        if total > capj:
-            return None
-        codes = _join_flatten(jnp.stack(code_parts), capj)
+        if code_parts:
+            # a slice beyond the concat length clamps harmlessly
+            capj = _pow2_at_least(max(total, 1), 1 << 14, 1 << 30)
+            if total > capj:
+                return None  # > 2^30 matches: beyond any supported bucket
+            codes = _join_flatten_concat(code_parts, capj)
+        else:
+            codes = jnp.full((1,), 0xFFFFFFFF, jnp.uint32)
 
         cols = ([], [], [], [], [])
         for s0 in range(0, total, RECON_SLAB):
             take = min(RECON_SLAB, total - s0)
             slab = jax.lax.dynamic_slice_in_dim(
-                codes, s0, min(RECON_SLAB, capj)
+                codes, s0, min(RECON_SLAB, int(codes.shape[0]))
             )
-            out = _join_reconstruct_slab(slab, self._rid, self._packed)
+            out = _join_reconstruct_slab(slab, jrid, jpacked)
             for acc, col in zip(cols, out):
                 acc.append(np.asarray(col[:take]))
         if total == 0:
@@ -563,7 +646,7 @@ class DeviceIndex:
             )
 
         if filtered_out is not None:
-            capf = max(1 << 12, N >> 3)
+            capf = max(1 << 12, self._key.shape[0] >> 3)
             fcodes, f_count = _filtered_compact(
                 self._key,
                 self._rid,

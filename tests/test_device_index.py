@@ -158,3 +158,21 @@ def test_materialize_fallback(monkeypatch):
             np.sort(a, order=["rhs_id", "strand", "lhs_begin", "rhs_begin"]),
             np.sort(b, order=["rhs_id", "strand", "lhs_begin", "rhs_begin"]),
         )
+
+
+def test_join_flatten_pads_to_capj():
+    """The flattened code stream must be exactly capj long (sentinel
+    padded): the reconstruction slab walk dynamic-slices at multiples of
+    RECON_SLAB, and a shorter stream would clamp the last slab's start and
+    decode entries from the wrong offset."""
+    from raven_tpu.overlap import device_index as di
+
+    parts = [
+        np.array([5, 1, 0xFFFFFFFF], dtype=np.uint32),
+        np.array([3], dtype=np.uint32),
+    ]
+    capj = 1 << 14
+    out = np.asarray(di._join_flatten_concat([np.asarray(p) for p in parts], capj))
+    assert out.shape == (capj,)
+    assert out[:3].tolist() == [1, 3, 5]
+    assert (out[3:] == 0xFFFFFFFF).all()
