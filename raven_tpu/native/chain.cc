@@ -7,7 +7,9 @@
 // of the all-vs-all construct phase for large read sets.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -45,18 +47,12 @@ void lis_indices(const std::vector<std::int64_t>& v,
   std::reverse(out->begin(), out->end());
 }
 
-}  // namespace
-
-extern "C" {
-
-// Returns the number of overlaps written (<= cap), or -1 on overflow.
-// When anchor buffers are non-null, each overlap's chain anchors (q, t)
-// are appended to anchor_q/anchor_t with exclusive-end offsets in
-// anchor_end[i]; anchors beyond anchor_cap spill -> returns -1.
-long long raven_chain_anchors(
+// Chain one read's matches (the shared core of the per-read and batch
+// entries).  Returns overlaps written (<= cap) or -1 on overflow.
+long long chain_read(
     const std::uint32_t* tid, const std::uint8_t* same,
     const std::int64_t* qpos, const std::int64_t* tpos, long long n,
-    int kmer, std::uint32_t lhs_id, std::uint32_t* o_lhs_begin,
+    int kmer, std::uint32_t* o_lhs_begin,
     std::uint32_t* o_lhs_end, std::uint32_t* o_rhs_id,
     std::uint32_t* o_rhs_begin, std::uint32_t* o_rhs_end,
     std::uint32_t* o_score, std::uint8_t* o_strand, long long cap,
@@ -156,8 +152,88 @@ long long raven_chain_anchors(
     }
     gs = i;
   }
-  (void)lhs_id;
   return written;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of overlaps written (<= cap), or -1 on overflow.
+// When anchor buffers are non-null, each overlap's chain anchors (q, t)
+// are appended to anchor_q/anchor_t with exclusive-end offsets in
+// anchor_end[i]; anchors beyond anchor_cap spill -> returns -1.
+long long raven_chain_anchors(
+    const std::uint32_t* tid, const std::uint8_t* same,
+    const std::int64_t* qpos, const std::int64_t* tpos, long long n,
+    int kmer, std::uint32_t lhs_id, std::uint32_t* o_lhs_begin,
+    std::uint32_t* o_lhs_end, std::uint32_t* o_rhs_id,
+    std::uint32_t* o_rhs_begin, std::uint32_t* o_rhs_end,
+    std::uint32_t* o_score, std::uint8_t* o_strand, long long cap,
+    std::int64_t* anchor_q, std::int64_t* anchor_t, std::int64_t* anchor_end,
+    long long anchor_cap) {
+  (void)lhs_id;
+  return chain_read(tid, same, qpos, tpos, n, kmer, o_lhs_begin, o_lhs_end,
+                    o_rhs_id, o_rhs_begin, o_rhs_end, o_score, o_strand, cap,
+                    anchor_q, anchor_t, anchor_end, anchor_cap);
+}
+
+// Chain a whole batch of reads in one call: matches are pre-sorted by
+// query read (read r's matches at [read_start[r], read_start[r+1])), each
+// read writes its overlaps at out_off[r] (capacity out_off[r+1] -
+// out_off[r]) and, when anchor buffers are given, its anchors at
+// aout_off[r].  anchor_end entries are ABSOLUTE exclusive indices into
+// the global anchor arrays.  o_counts[r] = overlaps written for read r,
+// or -1 if that read overflowed its capacity (caller re-chains it on the
+// unbounded path).  Reads are distributed over n_threads worker threads
+// (the GIL-free replacement for the per-read thread-pool dispatch, whose
+// Python-side slicing serialized on the GIL).
+void raven_chain_batch(
+    const std::int64_t* read_start, long long n_reads,
+    const std::uint32_t* tid, const std::uint8_t* same,
+    const std::int64_t* qpos, const std::int64_t* tpos, int kmer,
+    int n_threads, const std::int64_t* out_off, const std::int64_t* aout_off,
+    std::uint32_t* o_lhs_begin, std::uint32_t* o_lhs_end,
+    std::uint32_t* o_rhs_id, std::uint32_t* o_rhs_begin,
+    std::uint32_t* o_rhs_end, std::uint32_t* o_score,
+    std::uint8_t* o_strand, std::int64_t* anchor_q, std::int64_t* anchor_t,
+    std::int64_t* anchor_end, std::int64_t* o_counts) {
+  std::atomic<long long> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      const long long r = next.fetch_add(1);
+      if (r >= n_reads) return;
+      const std::int64_t s0 = read_start[r], s1 = read_start[r + 1];
+      const std::int64_t o0 = out_off[r];
+      const std::int64_t ocap = out_off[r + 1] - o0;
+      std::int64_t a0 = 0, acap = 0;
+      if (aout_off != nullptr) {
+        a0 = aout_off[r];
+        acap = aout_off[r + 1] - a0;
+      }
+      const long long m = chain_read(
+          tid + s0, same + s0, qpos + s0, tpos + s0, s1 - s0, kmer,
+          o_lhs_begin + o0, o_lhs_end + o0, o_rhs_id + o0, o_rhs_begin + o0,
+          o_rhs_end + o0, o_score + o0, o_strand + o0, ocap,
+          aout_off != nullptr ? anchor_q + a0 : nullptr,
+          aout_off != nullptr ? anchor_t + a0 : nullptr,
+          aout_off != nullptr ? anchor_end + o0 : nullptr, acap);
+      o_counts[r] = m;
+      if (m > 0 && aout_off != nullptr) {
+        for (long long i = 0; i < m; ++i) anchor_end[o0 + i] += a0;
+      }
+    }
+  };
+  const int nt = n_threads < 1 ? 1 : n_threads;
+  if (nt == 1 || n_reads <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(nt - 1);
+  for (int t = 0; t < nt - 1; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
 }
 
 // Backwards-compatible entry without anchor outputs.

@@ -34,6 +34,39 @@ MIN_SPAN = 100
 
 _CHAIN_FN = None
 _CHAIN_TRIED = False
+_BATCH_FN = None
+_BATCH_TRIED = False
+
+
+def _native_chain_batch():
+    global _BATCH_FN, _BATCH_TRIED
+    if _BATCH_FN is not None or _BATCH_TRIED:
+        return _BATCH_FN
+    _BATCH_TRIED = True
+    import ctypes
+
+    from raven_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        fn = lib.raven_chain_batch
+    except AttributeError:
+        return None
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_longlong)
+    fn.restype = None
+    fn.argtypes = [
+        i64p, ctypes.c_longlong,
+        u32p, u8p, i64p, i64p, ctypes.c_int, ctypes.c_int,
+        i64p, i64p,
+        u32p, u32p, u32p, u32p, u32p, u32p, u8p,
+        i64p, i64p, i64p, i64p,
+    ]
+    _BATCH_FN = fn
+    return fn
 
 
 def _native_chain():
@@ -132,6 +165,130 @@ def _chain_native(lhs_id, tid, same, qpos, tpos, k, anchors_out=None):
             anchors_out.append((aq[start:end].copy(), at[start:end].copy()))
             start = end
     return res
+
+
+def chain_batch(
+    uniq: np.ndarray,
+    bounds: np.ndarray,
+    tid: np.ndarray,
+    same: np.ndarray,
+    qpos: np.ndarray,
+    tpos: np.ndarray,
+    k: int,
+    out: dict[int, np.ndarray],
+    anchors_out: dict | None = None,
+    workers: int = 1,
+) -> bool:
+    """Chain every read of a batch in ONE native call (C++ worker threads
+    over reads).  The per-read dispatch path pays Python slicing and array
+    conversion under the GIL for each of thousands of reads; here the
+    matches go down pre-sorted by query (read r's matches at
+    [bounds[r], bounds[r+1])) and come back as flat overlap columns plus
+    per-read counts.  Fills `out` (and `anchors_out`); returns False when
+    the native library is unavailable (caller falls back)."""
+    fn = _native_chain_batch()
+    if fn is None:
+        return False
+    import ctypes
+
+    from raven_tpu.config import worker_count
+
+    R = int(uniq.size)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    nr = np.diff(bounds)
+    tid_c = np.ascontiguousarray(tid, dtype=np.uint32)
+    same_c = np.ascontiguousarray(same, dtype=np.uint8)
+    q_c = np.ascontiguousarray(qpos, dtype=np.int64)
+    t_c = np.ascontiguousarray(tpos, dtype=np.int64)
+
+    ocap = np.maximum(64, nr // MIN_MATCHES + 8)
+    out_off = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(ocap, out=out_off[1:])
+    total_cap = int(out_off[-1])
+    names = ("lhs_begin", "lhs_end", "rhs_id", "rhs_begin", "rhs_end", "score")
+    cols = {n_: np.zeros(total_cap, dtype=np.uint32) for n_ in names}
+    strand = np.zeros(total_cap, dtype=np.uint8)
+    counts = np.zeros(R, dtype=np.int64)
+
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_longlong)
+    null64 = ctypes.cast(None, i64p)
+    if anchors_out is not None:
+        acap = nr + 8
+        aout_off = np.zeros(R + 1, dtype=np.int64)
+        np.cumsum(acap, out=aout_off[1:])
+        aq = np.zeros(int(aout_off[-1]), dtype=np.int64)
+        at = np.zeros(int(aout_off[-1]), dtype=np.int64)
+        aend = np.zeros(total_cap, dtype=np.int64)
+        aout_off_p = aout_off.ctypes.data_as(i64p)
+        aq_p = aq.ctypes.data_as(i64p)
+        at_p = at.ctypes.data_as(i64p)
+        aend_p = aend.ctypes.data_as(i64p)
+    else:
+        aout_off_p = aq_p = at_p = aend_p = null64
+
+    fn(
+        bounds.ctypes.data_as(i64p),
+        R,
+        tid_c.ctypes.data_as(u32p),
+        same_c.ctypes.data_as(u8p),
+        q_c.ctypes.data_as(i64p),
+        t_c.ctypes.data_as(i64p),
+        k,
+        max(1, workers or worker_count()),
+        out_off.ctypes.data_as(i64p),
+        aout_off_p,
+        *(cols[n_].ctypes.data_as(u32p) for n_ in names),
+        strand.ctypes.data_as(u8p),
+        aq_p,
+        at_p,
+        aend_p,
+        counts.ctypes.data_as(i64p),
+    )
+
+    # vectorized assembly: one big structured array split into per-read
+    # views (the overlap sets are identical to the per-read path's)
+    m = np.maximum(counts, 0)
+    total_m = int(m.sum())
+    starts_rep = np.repeat(np.cumsum(m) - m, m)
+    sel = np.arange(total_m, dtype=np.int64) - starts_rep + np.repeat(
+        out_off[:-1], m
+    )
+    big = np.zeros(total_m, dtype=OVERLAP_DTYPE)
+    big["lhs_id"] = np.repeat(uniq, m)
+    for n_ in names:
+        big[n_] = cols[n_][sel]
+    big["strand"] = strand[sel]
+    pieces = np.split(big, np.cumsum(m)[:-1]) if R else []
+    for r in range(R):
+        u = int(uniq[r])
+        if counts[r] < 0:  # capacity overflow: unbounded per-read fallback
+            s0, s1 = int(bounds[r]), int(bounds[r + 1])
+            per_read_anchors = [] if anchors_out is not None else None
+            out[u] = chain_matches(
+                u,
+                tid_c[s0:s1],
+                same_c[s0:s1],
+                q_c[s0:s1],
+                t_c[s0:s1],
+                k,
+                anchors_out=per_read_anchors,
+            )
+            if anchors_out is not None:
+                anchors_out[u] = per_read_anchors
+            continue
+        out[u] = pieces[r]
+        if anchors_out is not None:
+            ends = aend[int(out_off[r]) : int(out_off[r]) + int(counts[r])]
+            a0 = int(aout_off[r])
+            alist = []
+            for oi in range(int(counts[r])):
+                a1 = int(ends[oi])
+                alist.append((aq[a0:a1].copy(), at[a0:a1].copy()))
+                a0 = a1
+            anchors_out[u] = alist
+    return True
 
 
 def _lis_indices(values: np.ndarray, increasing: bool) -> np.ndarray:

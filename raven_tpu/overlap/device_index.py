@@ -261,59 +261,75 @@ if HAS_JAX:
     @functools.partial(
         jax.jit, static_argnames=("S", "capd", "need_flags")
     )
-    def _join_distance_slab(
-        key, rid, packed, counts, inb, occurrence, d, start, S, capd,
+    def _join_distances_bucket(
+        key, rid, packed, counts, inb, occurrence, ds, starts, S, capd,
         need_flags,
     ):
-        """_join_distance over a length-S slab of the compacted table at
-        traced offset `start` (the count-sorted suffix where runs are long
-        enough to emit distance-d pairs; see _compact_usable).  `start` is
-        chosen on the host so the slab's left edge is either the exact
+        """All distance passes sharing one slab-size bucket in a single
+        device dispatch (lax.scan over the (d, start) pairs) — the
+        per-distance dispatches each cost a ~0.3 s round trip through the
+        remote-TPU tunnel, which dominated the join wall time.
+
+        Each pass works on a length-S slab of the count-sorted compacted
+        table at traced offset start[i] (the suffix where runs are long
+        enough to emit distance-d pairs; see _compact_usable).  Each start
+        is chosen on the host so the slab's left edge is either the exact
         count>d run boundary or inside the count<=d region, where no
         distance-d pair can cross it.  Emitted codes carry the GLOBAL
-        compacted index (start + local)."""
-        key = jax.lax.dynamic_slice_in_dim(key, start, S)
-        rid = jax.lax.dynamic_slice_in_dim(rid, start, S)
-        packed = jax.lax.dynamic_slice_in_dim(packed, start, S)
-        counts = jax.lax.dynamic_slice_in_dim(counts, start, S)
-        inb = jax.lax.dynamic_slice_in_dim(inb, start, S)
+        compacted index (start + local).  Returns (codes [nd*capd],
+        counts [nd], overflows [nd])."""
 
-        pad = jnp.full((MAX_D,), UINT32_INF, key.dtype)
-        kp = jnp.concatenate([pad, key])
-        rp = jnp.concatenate(
-            [jnp.full((MAX_D,), _INVALID_RID, rid.dtype), rid]
-        )
-        pp = jnp.concatenate([jnp.zeros((MAX_D,), packed.dtype), packed])
-        bp = jnp.concatenate([jnp.zeros((MAX_D,), bool), inb])
-        sh = MAX_D - d
-        key_j = jax.lax.dynamic_slice_in_dim(kp, sh, S)
-        rid_j = jax.lax.dynamic_slice_in_dim(rp, sh, S)
-        packed_j = jax.lax.dynamic_slice_in_dim(pp, sh, S)
-        inb_j = jax.lax.dynamic_slice_in_dim(bp, sh, S)
+        def one_distance(_, dstart):
+            d, start = dstart
+            k_s = jax.lax.dynamic_slice_in_dim(key, start, S)
+            r_s = jax.lax.dynamic_slice_in_dim(rid, start, S)
+            p_s = jax.lax.dynamic_slice_in_dim(packed, start, S)
+            c_s = jax.lax.dynamic_slice_in_dim(counts, start, S)
+            b_s = jax.lax.dynamic_slice_in_dim(inb, start, S)
 
-        eq = (key == key_j) & (key != UINT32_INF)
-        ok = counts <= occurrence
-        idne = rid != rid_j
-        i_is_q = rid < rid_j
-        inbatch = jnp.where(i_is_q, inb, inb_j)
-        mask = eq & ok & idne & inbatch
-        if need_flags:
-            q_packed = jnp.where(i_is_q, packed, packed_j)
-            mask &= ((q_packed >> _FLAG_BIT) & 1) == 1
-        gidx = start.astype(jnp.uint32) + jnp.arange(S, dtype=jnp.uint32)
-        codes = jnp.where(
-            mask,
-            gidx * jnp.uint32(MAX_D + 1) + d.astype(jnp.uint32),
-            jnp.uint32(0xFFFFFFFF),
+            pad = jnp.full((MAX_D,), UINT32_INF, k_s.dtype)
+            kp = jnp.concatenate([pad, k_s])
+            rp = jnp.concatenate(
+                [jnp.full((MAX_D,), _INVALID_RID, r_s.dtype), r_s]
+            )
+            pp = jnp.concatenate([jnp.zeros((MAX_D,), p_s.dtype), p_s])
+            bp = jnp.concatenate([jnp.zeros((MAX_D,), bool), b_s])
+            sh = MAX_D - d
+            key_j = jax.lax.dynamic_slice_in_dim(kp, sh, S)
+            rid_j = jax.lax.dynamic_slice_in_dim(rp, sh, S)
+            packed_j = jax.lax.dynamic_slice_in_dim(pp, sh, S)
+            inb_j = jax.lax.dynamic_slice_in_dim(bp, sh, S)
+
+            eq = (k_s == key_j) & (k_s != UINT32_INF)
+            ok = c_s <= occurrence
+            idne = r_s != rid_j
+            i_is_q = r_s < rid_j
+            inbatch = jnp.where(i_is_q, b_s, inb_j)
+            mask = eq & ok & idne & inbatch
+            if need_flags:
+                q_packed = jnp.where(i_is_q, p_s, packed_j)
+                mask &= ((q_packed >> _FLAG_BIT) & 1) == 1
+            gidx = start.astype(jnp.uint32) + jnp.arange(
+                S, dtype=jnp.uint32
+            )
+            codes = jnp.where(
+                mask,
+                gidx * jnp.uint32(MAX_D + 1) + d.astype(jnp.uint32),
+                jnp.uint32(0xFFFFFFFF),
+            )
+            count = mask.sum(dtype=jnp.int32)
+            C = min(S, 1 << 14)
+            R = S // C
+            capr = capd // R
+            codes_s = jax.lax.sort(codes.reshape(R, C), dimension=1)
+            rowcounts = mask.reshape(R, C).sum(axis=1, dtype=jnp.int32)
+            overflow = (rowcounts > capr).any()
+            return None, (codes_s[:, :capr].reshape(-1), count, overflow)
+
+        _, (codes, count, overflow) = jax.lax.scan(
+            one_distance, None, (ds, starts)
         )
-        count = mask.sum(dtype=jnp.int32)
-        C = min(S, 1 << 14)
-        R = S // C
-        capr = capd // R
-        codes_s = jax.lax.sort(codes.reshape(R, C), dimension=1)
-        rowcounts = mask.reshape(R, C).sum(axis=1, dtype=jnp.int32)
-        overflow = (rowcounts > capr).any()
-        return codes_s[:, :capr].reshape(-1), count, overflow
+        return codes.reshape(-1), count, overflow
 
     @functools.partial(jax.jit, static_argnames=("capj",))
     def _join_flatten_concat(code_parts, capj):
@@ -573,43 +589,54 @@ class DeviceIndex:
         batch_tbl = jnp.asarray(batch.astype(np.uint8))
         inb = _entry_inbatch(jrid, batch_tbl)
         occ = jnp.int32(occurrence)
+        # group the distance passes by slab-size bucket: suffix[d] is
+        # non-increasing in d, so equal-S distances are consecutive and one
+        # lax.scan dispatch serves each bucket (dispatch round trips
+        # through the remote tunnel dominated the per-distance loop)
+        buckets: list[tuple[int, list[int], list[int]]] = []
+        for d in range(1, maxd + 1):
+            suf = int(suffix[d]) if d <= MAX_D else 0
+            if suf <= 0:
+                break
+            S = _pow2_at_least(suf, 1 << 12, M)
+            start = max(0, min(n_usable - suf, M - S))
+            if buckets and buckets[-1][0] == S:
+                buckets[-1][1].append(d)
+                buckets[-1][2].append(start)
+            else:
+                buckets.append((S, [d], [start]))
+
         code_parts = counts = None
         # row-capacity ladder: the tight capacity wins at assembly scale;
         # dense small inputs retry wider (shift 0 = uncapped rows, cannot
         # overflow, so the device join never falls back for capacity)
         for shift in (2, 0):
             code_parts = []
-            counts = []
+            count_parts = []
             overflows = []
-            for d in range(1, maxd + 1):
-                suf = int(suffix[d]) if d <= MAX_D else 0
-                if suf <= 0:
-                    continue
-                S = _pow2_at_least(suf, 1 << 12, M)
-                start = max(0, min(n_usable - suf, M - S))
+            for S, ds, starts in buckets:
                 C = min(S, 1 << 14)
                 capd = (S // C) * max(64, C >> shift)
-                codes_d, count_d, ovf_d = _join_distance_slab(
+                codes_b, count_b, ovf_b = _join_distances_bucket(
                     jkey,
                     jrid,
                     jpacked,
                     jcounts,
                     inb,
                     occ,
-                    jnp.int32(d),
-                    jnp.int32(start),
+                    jnp.asarray(ds, jnp.int32),
+                    jnp.asarray(starts, jnp.int32),
                     S,
                     capd,
                     bool(need_flags),
                 )
-                code_parts.append(codes_d)
-                counts.append(count_d)
-                overflows.append(ovf_d)
-            if not any(bool(o) for o in overflows):
+                code_parts.append(codes_b)
+                count_parts.append(count_b)
+                overflows.append(ovf_b)
+            if not any(bool(o.any()) for o in overflows):
                 break
             code_parts = None
-        counts = [int(c) for c in counts]
-        total = sum(counts)
+        total = sum(int(np.asarray(c).sum()) for c in count_parts)
         if code_parts:
             # a slice beyond the concat length clamps harmlessly
             capj = _pow2_at_least(max(total, 1), 1 << 14, 1 << 30)

@@ -496,24 +496,12 @@ class MinimizerIndex:
         q_pos = q_pos[keep]
         q_id = q_id[keep]
 
-        # per-read chaining over contiguous slices (q_id ascends within the
-        # sketch ordering only if ids were ascending; sort to be safe)
-        order = np.argsort(q_id, kind="stable")
-        q_id = q_id[order]
-        tid, tpos, same, q_pos = tid[order], tpos[order], same[order], q_pos[order]
-        uniq, starts = np.unique(q_id, return_index=True)
-        bounds = np.append(starts, q_id.size)
-        for u, s0, s1 in zip(uniq, bounds[:-1], bounds[1:]):
-            per_read_anchors = [] if anchors_out is not None else None
-            out[int(u)] = chain_mod.chain_matches(
-                int(u),
-                tid[s0:s1],
-                same[s0:s1],
-                q_pos[s0:s1],
-                tpos[s0:s1],
-                self.k,
-                anchors_out=per_read_anchors,
-            )
-            if anchors_out is not None:
-                anchors_out[int(u)] = per_read_anchors
+        # per-read chaining via the shared batch path (one native call,
+        # C++ threads over reads; identical results to per-read map())
+        from raven_tpu.overlap import selfjoin
+
+        selfjoin.chain_per_read(
+            q_id, q_pos, tid, tpos, same, self.k, out,
+            anchors_out=anchors_out,
+        )
         return out

@@ -187,6 +187,30 @@ def chain_per_read(
     )
     uniq, starts = np.unique(q_id, return_index=True)
     bounds = np.append(starts, q_id.size)
+
+    import os
+
+    from raven_tpu.config import worker_count
+
+    workers = worker_count()
+    if os.environ.get("RAVEN_TPU_NO_BATCH_CHAIN") != "1":
+        # one native call, C++ threads over reads (no per-read Python
+        # slicing under the GIL)
+        done = chain_mod.chain_batch(
+            uniq,
+            bounds,
+            t_id.astype(np.uint32),
+            same,
+            q_pos,
+            t_pos,
+            k,
+            out,
+            anchors_out=anchors_out,
+            workers=workers,
+        )
+        if done:
+            return
+
     groups = list(zip(uniq, bounds[:-1], bounds[1:]))
 
     def run_group(item):
@@ -203,11 +227,6 @@ def chain_per_read(
         )
         return int(u), res, per_read_anchors
 
-    import os
-
-    from raven_tpu.config import worker_count
-
-    workers = worker_count()
     if (
         len(groups) >= 256
         and workers > 1
