@@ -110,22 +110,33 @@ if HAS_JAX:
     def _chunk_sketch_compact(
         codes, eff, rids, base, clo, chi, k, w, use_pallas, cap
     ):
-        """Sketch one segment chunk and compact entries to `cap` by a local
-        sort; returns (key, rid, packed_pos) [cap] + the true valid count
+        """Sketch ALL segment chunks in one dispatch (lax.scan over the
+        leading chunk axis — the per-chunk dispatches each paid a ~0.3 s
+        tunnel round trip) and compact each chunk's entries to `cap` by a
+        local sort; returns (key, rid, packed_pos) [n_chunks * cap]
+        (chunk-concatenated) + the true per-chunk valid counts [n_chunks]
         (count > cap means the capacity clipped real entries)."""
-        key, ids, pos, sb = sketch_segments_kernel(
-            codes, eff, rids, base, clo, chi, k, w, use_pallas=use_pallas
+
+        def one_chunk(_, ch):
+            co, ef, ri, ba, cl, ch_hi = ch
+            key, ids, pos, sb = sketch_segments_kernel(
+                co, ef, ri, ba, cl, ch_hi, k, w, use_pallas=use_pallas
+            )
+            valid = key != UINT32_INF
+            count = valid.sum(dtype=jnp.int32)
+            rid = jnp.where(valid, ids, _INVALID_RID)
+            packed = jnp.where(valid, pos | (sb << _STRAND_BIT), 0).astype(
+                jnp.int32
+            )
+            key_s, rid_s, packed_s = jax.lax.sort(
+                (key, rid, packed), num_keys=1
+            )
+            return None, (key_s[:cap], rid_s[:cap], packed_s[:cap], count)
+
+        _, (keys, rids_o, packeds, counts) = jax.lax.scan(
+            one_chunk, None, (codes, eff, rids, base, clo, chi)
         )
-        valid = key != UINT32_INF
-        count = valid.sum(dtype=jnp.int32)
-        rid = jnp.where(valid, ids, _INVALID_RID)
-        packed = jnp.where(valid, pos | (sb << _STRAND_BIT), 0).astype(
-            jnp.int32
-        )
-        key_s, rid_s, packed_s = jax.lax.sort(
-            (key, rid, packed), num_keys=1
-        )
-        return key_s[:cap], rid_s[:cap], packed_s[:cap], count
+        return keys.reshape(-1), rids_o.reshape(-1), packeds.reshape(-1), counts
 
     @jax.jit
     def _flags_kernel(key, rid, packed, budget_tbl):
@@ -449,30 +460,20 @@ class DeviceIndex:
         # 45% gives generous headroom and the true count is checked below
         cap = max(256, int(chunk * SEG_WIDTH * 0.45) // 256 * 256)
 
-        parts = []
-        counts = []
-        for c in range(n_chunks):
-            sl = slice(c * chunk, min((c + 1) * chunk, S))
-            pad = chunk - (sl.stop - sl.start)
-            args = []
-            for a in (codes, eff, rids, base, clo, chi):
-                piece = a[sl]
-                if pad:
-                    piece = np.concatenate(
-                        [
-                            piece,
-                            np.zeros(
-                                (pad,) + piece.shape[1:], dtype=piece.dtype
-                            ),
-                        ]
-                    )
-                args.append(jnp.asarray(piece))
-            key_c, rid_c, packed_c, count_c = _chunk_sketch_compact(
-                *args, k, w, use_pallas, cap
-            )
-            parts.append((key_c, rid_c, packed_c))
-            counts.append(count_c)
-        counts = [int(c) for c in counts]  # tiny d2h; also syncs chunks
+        # stack the segment arrays [n_chunks, chunk, ...] and sketch every
+        # chunk in ONE device dispatch (scan inside _chunk_sketch_compact)
+        S_pad = n_chunks * chunk
+        args = []
+        for a in (codes, eff, rids, base, clo, chi):
+            if S_pad != S:
+                a = np.concatenate(
+                    [a, np.zeros((S_pad - S,) + a.shape[1:], dtype=a.dtype)]
+                )
+            args.append(jnp.asarray(a.reshape((n_chunks, chunk) + a.shape[1:])))
+        key, rid, packed, counts_dev = _chunk_sketch_compact(
+            *args, k, w, use_pallas, cap
+        )
+        counts = [int(c) for c in np.asarray(counts_dev)]
         if any(c > cap for c in counts):
             return None  # compaction would clip real entries
         total = sum(counts)
@@ -481,26 +482,14 @@ class DeviceIndex:
         if total > N:
             return None  # beyond the largest supported bucket
         pad_n = N - n_chunks * cap
-        key = jnp.concatenate(
-            [p[0] for p in parts]
-            + (
-                [jnp.full((pad_n,), UINT32_INF, jnp.uint32)]
-                if pad_n > 0
-                else []
+        if pad_n > 0:
+            key = jnp.concatenate(
+                [key, jnp.full((pad_n,), UINT32_INF, jnp.uint32)]
             )
-        )
-        rid = jnp.concatenate(
-            [p[1] for p in parts]
-            + (
-                [jnp.full((pad_n,), _INVALID_RID, jnp.int32)]
-                if pad_n > 0
-                else []
+            rid = jnp.concatenate(
+                [rid, jnp.full((pad_n,), _INVALID_RID, jnp.int32)]
             )
-        )
-        packed = jnp.concatenate(
-            [p[2] for p in parts]
-            + ([jnp.zeros((pad_n,), jnp.int32)] if pad_n > 0 else [])
-        )
+            packed = jnp.concatenate([packed, jnp.zeros((pad_n,), jnp.int32)])
         if pad_n < 0:  # n_chunks * cap > N: re-compact through one sort
             key, rid, packed = jax.lax.sort(
                 (key, rid, packed), num_keys=1
