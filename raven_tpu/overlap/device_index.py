@@ -535,10 +535,16 @@ class DeviceIndex:
         batch: np.ndarray,
         need_flags: bool,
         filtered_out: dict | None = None,
+        chain_k: int | None = None,
     ):
         """Self-join matches (q_id, q_pos, t_id, t_pos, same) as numpy
         arrays, exactly the host selfjoin.distance_join contract; None on
         any static-capacity overflow (caller falls back to the host path).
+
+        With chain_k set, chaining also runs on device (ops/chain_device)
+        and the return value is the {read_id: overlaps} dict instead — the
+        match columns never leave the device.  Returns the matches tuple
+        as usual when the device chain declines (oversized group).
         """
         if occurrence > MAX_D + 1:
             return None
@@ -635,31 +641,57 @@ class DeviceIndex:
         else:
             codes = jnp.full((1,), 0xFFFFFFFF, jnp.uint32)
 
-        cols = ([], [], [], [], [])
+        res = None
+        dev_cols = ([], [], [], [], [])
         for s0 in range(0, total, RECON_SLAB):
-            take = min(RECON_SLAB, total - s0)
             slab = jax.lax.dynamic_slice_in_dim(
                 codes, s0, min(RECON_SLAB, int(codes.shape[0]))
             )
             out = _join_reconstruct_slab(slab, jrid, jpacked)
-            for acc, col in zip(cols, out):
-                acc.append(np.asarray(col[:take]))
-        if total == 0:
-            res = (
-                np.empty(0, np.int64),
-                np.empty(0, np.int64),
-                np.empty(0, np.int64),
-                np.empty(0, np.int64),
-                np.empty(0, np.uint8),
+            for acc, col in zip(dev_cols, out):
+                acc.append(col)
+        if chain_k is not None and total > 0:
+            # chain on device: sentinel rows (q_id < 0 beyond `total` in
+            # the last slab) are dropped by the kernel's group formation
+            from raven_tpu.ops.chain_device import chain_matches_device
+
+            q_id_d, q_pos_d, t_id_d, t_pos_d, same_d = (
+                jnp.concatenate(c) if len(c) > 1 else c[0]
+                for c in dev_cols
             )
-        else:
-            res = (
-                np.concatenate(cols[0]).astype(np.int64),
-                np.concatenate(cols[1]).astype(np.int64),
-                np.concatenate(cols[2]).astype(np.int64),
-                np.concatenate(cols[3]).astype(np.int64),
-                np.concatenate(cols[4]).astype(np.uint8),
-            )
+            res = chain_matches_device(
+                q_id_d,
+                q_pos_d,
+                t_id_d,
+                t_pos_d,
+                same_d.astype(jnp.int32),
+                chain_k,
+            )  # None -> oversized group, transfer + host chain below
+        if res is None:
+            if total == 0:
+                res = (
+                    np.empty(0, np.int64),
+                    np.empty(0, np.int64),
+                    np.empty(0, np.int64),
+                    np.empty(0, np.int64),
+                    np.empty(0, np.uint8),
+                )
+            else:
+                cols = ([], [], [], [], [])
+                done = 0
+                for acc, parts in zip(cols, dev_cols):
+                    done = 0
+                    for col in parts:
+                        take = min(int(col.shape[0]), total - done)
+                        acc.append(np.asarray(col[:take]))
+                        done += take
+                res = (
+                    np.concatenate(cols[0]).astype(np.int64),
+                    np.concatenate(cols[1]).astype(np.int64),
+                    np.concatenate(cols[2]).astype(np.int64),
+                    np.concatenate(cols[3]).astype(np.int64),
+                    np.concatenate(cols[4]).astype(np.uint8),
+                )
 
         if filtered_out is not None:
             capf = max(1 << 12, self._key.shape[0] >> 3)

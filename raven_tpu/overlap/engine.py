@@ -15,6 +15,8 @@ API mirrors the reference engine:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from raven_tpu.overlap import chain as chain_mod
@@ -307,12 +309,31 @@ class MinimizerIndex:
         collect = {} if filtered_out is not None else None
         matches = None
         if self._device is not None and self._hashes is None:
+            # chaining runs on device too unless the caller needs the
+            # per-overlap anchors (the matches then never leave the chip)
+            chain_k = (
+                self.k
+                if (
+                    anchors_out is None
+                    and os.environ.get("RAVEN_TPU_DEVICE_CHAIN", "1")
+                    != "0"
+                )
+                else None
+            )
             matches = self._device.distance_join(
                 int(self._occurrence),
                 batch,
                 need_flags=(minhash and not self._minhash),
                 filtered_out=collect,
+                chain_k=chain_k,
             )
+            if isinstance(matches, dict):  # chained on device
+                if collect:
+                    for rid, plist in collect.items():
+                        plist.sort()
+                        filtered_out.setdefault(rid, []).extend(plist)
+                out.update(matches)
+                return out
             if matches is None:  # capacity overflow: host self-join instead
                 self._materialize_host()
                 collect = {} if filtered_out is not None else None

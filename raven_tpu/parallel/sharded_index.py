@@ -635,9 +635,12 @@ class ShardedIndex:
         batch: np.ndarray,
         need_flags: bool,
         filtered_out: dict | None = None,
+        chain_k: int | None = None,
     ):
         """Sharded self-join; same contract as DeviceIndex.distance_join
-        (None on capacity overflow -> caller falls back)."""
+        (None on capacity overflow -> caller falls back).  chain_k is
+        accepted for signature parity but chaining stays on the host here
+        (per-shard matches are gathered before chaining)."""
         if occurrence > SH_MAX_D + 1:
             return None
         if need_flags and not self.has_flags:
