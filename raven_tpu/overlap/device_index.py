@@ -115,10 +115,18 @@ if HAS_JAX:
         tunnel round trip) and compact each chunk's entries to `cap` by a
         local sort; returns (key, rid, packed_pos) [n_chunks * cap]
         (chunk-concatenated) + the true per-chunk valid counts [n_chunks]
-        (count > cap means the capacity clipped real entries)."""
+        (count > cap means the capacity clipped real entries).
+
+        codes arrive 2-bit packed (4 bases/byte, [.., width/4] uint8) and
+        unpack on device — the h2d transfer of the base codes was the
+        build's largest cost through the tunnel."""
 
         def one_chunk(_, ch):
-            co, ef, ri, ba, cl, ch_hi = ch
+            cp, ef, ri, ba, cl, ch_hi = ch
+            u = cp.astype(jnp.int32)
+            co = jnp.stack(
+                [(u >> (2 * b)) & 3 for b in range(4)], axis=2
+            ).reshape(u.shape[0], u.shape[1] * 4)
             key, ids, pos, sb = sketch_segments_kernel(
                 co, ef, ri, ba, cl, ch_hi, k, w, use_pallas=use_pallas
             )
@@ -183,6 +191,16 @@ if HAS_JAX:
         )
         n_valid = (key_s != UINT32_INF).sum(dtype=jnp.int32)
         return key_s, rid_s, packed_s, n_valid
+
+    @functools.partial(
+        jax.jit, static_argnames=("need_flags", "drop_unflagged")
+    )
+    def _finalize_index(key, rid, packed, budget_tbl, need_flags,
+                        drop_unflagged):
+        """Flags + final key sort in one dispatch."""
+        if need_flags:
+            key, rid, packed = _flags_kernel(key, rid, packed, budget_tbl)
+        return _index_sort(key, rid, packed, drop_unflagged)
 
     @jax.jit
     def _run_lengths(key):
@@ -362,6 +380,18 @@ if HAS_JAX:
     RECON_SLAB = 1 << 22
 
     @jax.jit
+    def _join_reconstruct_scan(codes_rows, rid, packed):
+        """All reconstruction slabs in one dispatch (scan over the slab
+        rows; the per-slab gathers stay bounded).  Returns flat columns
+        [n_slabs * L]."""
+
+        def body(_, row):
+            return None, _join_reconstruct_slab(row, rid, packed)
+
+        _, cols = jax.lax.scan(body, None, codes_rows)
+        return tuple(c.reshape(-1) for c in cols)
+
+    @jax.jit
     def _join_reconstruct_slab(codes, rid, packed):
         """Decode one slab of compacted pair codes into match columns
         (codes are index-ascending so the gathers are sequential)."""
@@ -460,6 +490,15 @@ class DeviceIndex:
         # 45% gives generous headroom and the true count is checked below
         cap = max(256, int(chunk * SEG_WIDTH * 0.45) // 256 * 256)
 
+        # pack 4 bases/byte so the h2d segment transfer shrinks 4x (the
+        # device unpacks inside the sketch dispatch)
+        c4 = codes.reshape(S, codes.shape[1] // 4, 4)
+        codes = (
+            c4[..., 0]
+            | (c4[..., 1] << 2)
+            | (c4[..., 2] << 4)
+            | (c4[..., 3] << 6)
+        ).astype(np.uint8)
         # stack the segment arrays [n_chunks, chunk, ...] and sketch every
         # chunk in ONE device dispatch (scan inside _chunk_sketch_compact)
         S_pad = n_chunks * chunk
@@ -497,15 +536,12 @@ class DeviceIndex:
             key, rid, packed = key[:N], rid[:N], packed[:N]
 
         need_flags = bool(minhash or with_flags)
-        if need_flags:
-            budget = (
-                np.asarray(readset.lengths, dtype=np.int64) // k
-            ).astype(np.int32)
-            key, rid, packed = _flags_kernel(
-                key, rid, packed, jnp.asarray(budget)
-            )
-        key, rid, packed, n_valid = _index_sort(
-            key, rid, packed, bool(minhash)
+        budget = (
+            np.asarray(readset.lengths, dtype=np.int64) // k
+        ).astype(np.int32)
+        key, rid, packed, n_valid = _finalize_index(
+            key, rid, packed, jnp.asarray(budget), bool(need_flags),
+            bool(minhash),
         )
         return cls(key, rid, packed, int(n_valid), need_flags, k, w)
 
@@ -642,23 +678,19 @@ class DeviceIndex:
             codes = jnp.full((1,), 0xFFFFFFFF, jnp.uint32)
 
         res = None
-        dev_cols = ([], [], [], [], [])
-        for s0 in range(0, total, RECON_SLAB):
-            slab = jax.lax.dynamic_slice_in_dim(
-                codes, s0, min(RECON_SLAB, int(codes.shape[0]))
-            )
-            out = _join_reconstruct_slab(slab, jrid, jpacked)
-            for acc, col in zip(dev_cols, out):
-                acc.append(col)
+        if total > 0:
+            # all slabs reconstruct in one scanned dispatch; rows beyond
+            # `total` decode the flatten sentinels (q_id = -1)
+            L = min(RECON_SLAB, int(codes.shape[0]))
+            n_slabs = -(-total // L)
+            rows = codes[: n_slabs * L].reshape(n_slabs, L)
+            dev_cols = _join_reconstruct_scan(rows, jrid, jpacked)
         if chain_k is not None and total > 0:
-            # chain on device: sentinel rows (q_id < 0 beyond `total` in
-            # the last slab) are dropped by the kernel's group formation
+            # chain on device: sentinel rows are dropped by the kernel's
+            # group formation
             from raven_tpu.ops.chain_device import chain_matches_device
 
-            q_id_d, q_pos_d, t_id_d, t_pos_d, same_d = (
-                jnp.concatenate(c) if len(c) > 1 else c[0]
-                for c in dev_cols
-            )
+            q_id_d, q_pos_d, t_id_d, t_pos_d, same_d = dev_cols
             res = chain_matches_device(
                 q_id_d,
                 q_pos_d,
@@ -677,20 +709,12 @@ class DeviceIndex:
                     np.empty(0, np.uint8),
                 )
             else:
-                cols = ([], [], [], [], [])
-                done = 0
-                for acc, parts in zip(cols, dev_cols):
-                    done = 0
-                    for col in parts:
-                        take = min(int(col.shape[0]), total - done)
-                        acc.append(np.asarray(col[:take]))
-                        done += take
                 res = (
-                    np.concatenate(cols[0]).astype(np.int64),
-                    np.concatenate(cols[1]).astype(np.int64),
-                    np.concatenate(cols[2]).astype(np.int64),
-                    np.concatenate(cols[3]).astype(np.int64),
-                    np.concatenate(cols[4]).astype(np.uint8),
+                    np.asarray(dev_cols[0][:total]).astype(np.int64),
+                    np.asarray(dev_cols[1][:total]).astype(np.int64),
+                    np.asarray(dev_cols[2][:total]).astype(np.int64),
+                    np.asarray(dev_cols[3][:total]).astype(np.int64),
+                    np.asarray(dev_cols[4][:total]).astype(np.uint8),
                 )
 
         if filtered_out is not None:
