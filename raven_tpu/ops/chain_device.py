@@ -98,9 +98,8 @@ if HAS_JAX:
         )
         return jnp.minimum(row, carry[:, None]).reshape(-1)
 
-    @functools.partial(jax.jit, static_argnames=("n_buckets",))
-    def _chain_prepare(q_id, q_pos, t_id, t_pos, same, n_buckets):
-        """Stage A (one dispatch): group formation + descriptors.
+    def _prepare_core(q_id, q_pos, t_id, t_pos, same, n_buckets):
+        """Stage A: group formation + descriptors.
 
         Flat match columns in ([Np] int32; padded rows carry q_id < 0).
         Returns device-resident intermediates for _chain_lis (sorted
@@ -177,6 +176,10 @@ if HAS_JAX:
             n_per_bucket,
             max_size,
         )
+
+    _chain_prepare = functools.partial(jax.jit, static_argnames=("n_buckets",))(
+        _prepare_core
+    )
 
     def _lis_keep(vals, size, G):
         """Patience LIS + backtrack over one bucket's [n_g, G] rows of
@@ -390,22 +393,11 @@ if HAS_JAX:
         return jax.lax.slice_in_dim(stacked, 0, take, axis=1)
 
 
-def chain_matches_device(q_id, q_pos, t_id, t_pos, same, k):
-    """Chain flat device match columns into overlaps on device.
-
-    Inputs are jax int32 arrays (padded rows: q_id < 0).  Returns a dict
-    {read_id: structured overlap array} identical to the host
-    chain_per_read result, or None when the input needs the host path
-    (no jax, or a group exceeds the top size bucket).
-    """
-    if not HAS_JAX:
-        return None
-    n = int(q_id.shape[0])
-    if n == 0:
-        return {}
-    anchors, descs, n_per_bucket, max_size = _chain_prepare(
-        q_id, q_pos, t_id, t_pos, same, len(BUCKETS)
-    )
+def chain_from_prepared(prepared, k):
+    """Finish chaining from _chain_prepare/_prepare_core outputs: size
+    bucketing, the LIS dispatch, and host assembly of the per-read
+    overlap dict.  None when a group exceeds the top size bucket."""
+    anchors, descs, n_per_bucket, max_size = prepared
     n_per_bucket = np.asarray(n_per_bucket)
     if int(max_size) > BUCKETS[-1]:
         return None  # repeat-monster group: host fallback
@@ -449,3 +441,19 @@ def chain_matches_device(q_id, q_pos, t_id, t_pos, same, k):
     for u, piece in zip(uniq, np.split(big, starts[1:])):
         out[int(u)] = piece
     return out
+
+
+def chain_matches_device(q_id, q_pos, t_id, t_pos, same, k):
+    """Chain flat device match columns into overlaps on device.
+
+    Inputs are jax int32 arrays (padded rows: q_id < 0).  Returns a dict
+    {read_id: structured overlap array} identical to the host
+    chain_per_read result, or None when the input needs the host path
+    (no jax, or a group exceeds the top size bucket).
+    """
+    if not HAS_JAX:
+        return None
+    if int(q_id.shape[0]) == 0:
+        return {}
+    prepared = _chain_prepare(q_id, q_pos, t_id, t_pos, same, len(BUCKETS))
+    return chain_from_prepared(prepared, k)

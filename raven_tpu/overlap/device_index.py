@@ -379,6 +379,26 @@ if HAS_JAX:
     # 1e8-element-gather shape that faults this TPU's worker
     RECON_SLAB = 1 << 22
 
+    @functools.partial(
+        jax.jit, static_argnames=("capj", "n_slabs", "n_buckets")
+    )
+    def _join_finish(code_parts, rid, packed, capj, n_slabs, n_buckets):
+        """Flatten + reconstruct + chain-prepare in ONE dispatch (each
+        round trip through the remote tunnel costs ~0.3 s).  Returns the
+        reconstructed match columns (for the host-chain fallback) plus
+        the chain-prepare outputs (see ops/chain_device._prepare_core)."""
+        from raven_tpu.ops.chain_device import _prepare_core
+
+        codes = _join_flatten_concat(code_parts, capj)
+        L = min(RECON_SLAB, capj)
+        rows = codes[: n_slabs * L].reshape(n_slabs, L)
+        cols = _join_reconstruct_scan(rows, rid, packed)
+        q_id, q_pos, t_id, t_pos, same = cols
+        prepared = _prepare_core(
+            q_id, q_pos, t_id, t_pos, same.astype(jnp.int32), n_buckets
+        )
+        return cols, prepared
+
     @jax.jit
     def _join_reconstruct_scan(codes_rows, rid, packed):
         """All reconstruction slabs in one dispatch (scan over the slab
@@ -668,37 +688,33 @@ class DeviceIndex:
                 break
             code_parts = None
         total = sum(int(np.asarray(c).sum()) for c in count_parts)
-        if code_parts:
-            # a slice beyond the concat length clamps harmlessly
-            capj = _pow2_at_least(max(total, 1), 1 << 14, 1 << 30)
-            if total > capj:
-                return None  # > 2^30 matches: beyond any supported bucket
-            codes = _join_flatten_concat(code_parts, capj)
-        else:
-            codes = jnp.full((1,), 0xFFFFFFFF, jnp.uint32)
+        capj = _pow2_at_least(max(total, 1), 1 << 14, 1 << 30)
+        if total > capj:
+            return None  # > 2^30 matches: beyond any supported bucket
 
         res = None
+        dev_cols = None
         if total > 0:
-            # all slabs reconstruct in one scanned dispatch; rows beyond
-            # `total` decode the flatten sentinels (q_id = -1)
-            L = min(RECON_SLAB, int(codes.shape[0]))
+            # flatten + reconstruct (+ chain-prepare) in one dispatch;
+            # rows beyond `total` decode the flatten sentinels (q_id = -1)
+            L = min(RECON_SLAB, capj)
             n_slabs = -(-total // L)
-            rows = codes[: n_slabs * L].reshape(n_slabs, L)
-            dev_cols = _join_reconstruct_scan(rows, jrid, jpacked)
-        if chain_k is not None and total > 0:
-            # chain on device: sentinel rows are dropped by the kernel's
-            # group formation
-            from raven_tpu.ops.chain_device import chain_matches_device
+            if chain_k is not None:
+                from raven_tpu.ops.chain_device import (
+                    BUCKETS,
+                    chain_from_prepared,
+                )
 
-            q_id_d, q_pos_d, t_id_d, t_pos_d, same_d = dev_cols
-            res = chain_matches_device(
-                q_id_d,
-                q_pos_d,
-                t_id_d,
-                t_pos_d,
-                same_d.astype(jnp.int32),
-                chain_k,
-            )  # None -> oversized group, transfer + host chain below
+                dev_cols, prepared = _join_finish(
+                    code_parts, jrid, jpacked, capj, n_slabs,
+                    len(BUCKETS),
+                )
+                res = chain_from_prepared(prepared, chain_k)
+                # None -> oversized group, transfer + host chain below
+            else:
+                codes = _join_flatten_concat(code_parts, capj)
+                rows = codes[: n_slabs * L].reshape(n_slabs, L)
+                dev_cols = _join_reconstruct_scan(rows, jrid, jpacked)
         if res is None:
             if total == 0:
                 res = (

@@ -148,14 +148,14 @@ def test_engine_device_chain_engages_and_matches(monkeypatch):
     ids = np.arange(len(rs))
 
     calls = []
-    orig = chain_device.chain_matches_device
+    orig = chain_device.chain_from_prepared
 
     def spy(*a, **kw):
         r = orig(*a, **kw)
         calls.append(r is not None)
         return r
 
-    monkeypatch.setattr(chain_device, "chain_matches_device", spy)
+    monkeypatch.setattr(chain_device, "chain_from_prepared", spy)
 
     monkeypatch.setenv("RAVEN_TPU_DEVICE_MAP", "1")
     monkeypatch.setenv("RAVEN_TPU_DEVICE_CHAIN", "1")
