@@ -10,6 +10,7 @@ construct.cc:35,67) is kept so genomes larger than memory stream through.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -23,7 +24,15 @@ from raven_tpu.overlap.types import OVERLAP_DTYPE, overlap_length, overlap_rever
 from raven_tpu.pile.pile import Piles
 from raven_tpu.utils import stagedump
 
-INDEX_BATCH_BYTES = 1 << 32  # construct.cc:35
+# reference index batch (construct.cc:35).  RAVEN_TPU_INDEX_BATCH_BASES
+# overrides it for TPU human-scale runs: the device index covers up to
+# 2^28 entries (~800 Mb of bases) per batch, so batches beyond that fall
+# back to the host path unless shrunk.  NOTE: batch size changes which
+# overlaps survive the 32-longest capping on exact length ties, so the
+# default stays reference-faithful.
+INDEX_BATCH_BYTES = int(
+    os.environ.get("RAVEN_TPU_INDEX_BATCH_BASES", 1 << 32)
+)
 MAP_BATCH_BYTES = 1 << 30  # construct.cc:67
 SECOND_PASS_BATCH_BYTES = 1 << 30  # construct.cc:356
 VALID_REGION_COVERAGE = 4  # construct.cc:134

@@ -537,7 +537,9 @@ class DeviceIndex:
             return None  # compaction would clip real entries
         total = sum(counts)
 
-        N = _pow2_at_least(max(total, 1), 1 << 12, 1 << 26)
+        # 2^28 entries (~800 Mb of bases at w=5 density) verified to sort
+        # on a 16 GB v5e; larger index batches fall back to the host path
+        N = _pow2_at_least(max(total, 1), 1 << 12, 1 << 28)
         if total > N:
             return None  # beyond the largest supported bucket
         pad_n = N - n_chunks * cap
@@ -619,7 +621,7 @@ class DeviceIndex:
                     self._key, self._counts, jnp.int32(occurrence)
                 )
             )
-            M = _pow2_at_least(max(n_usable, 1), 1 << 12, 1 << 26)
+            M = _pow2_at_least(max(n_usable, 1), 1 << 12, 1 << 27)
             if n_usable > M:
                 return None
             jkey, jrid, jpacked, jcounts, suffix = _compact_usable(

@@ -197,9 +197,9 @@ class MinimizerIndex:
         if mode != "1" and total < self.DEVICE_MIN_BASES:
             return False
         # entry estimate ~2/(w+1) per base; beyond the largest on-device
-        # index bucket (2^26 entries) the build cannot succeed — skip the
+        # index bucket (2^28 entries) the build cannot succeed — skip the
         # (host-side) segmentation cost and go straight to the host path
-        if total * 2 // (self.w + 1) > (1 << 26):
+        if total * 2 // (self.w + 1) > (1 << 28):
             return False
         try:
             import jax

@@ -84,7 +84,11 @@ def test_entry_compiles():
     spec.loader.exec_module(mod)
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
-    assert int(out) > 0
+    # fused consensus kernel: (base_votes, ins_votes, cover); fragments
+    # aligned to real windows must produce a positive vote mass
+    base_votes, ins_votes, cover = out
+    assert int(np.asarray(base_votes).sum()) > 0
+    assert int(np.asarray(cover).sum()) > 0
 
 
 def test_two_axis_mesh_candidate_count(rng):
