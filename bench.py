@@ -218,6 +218,16 @@ def main() -> int:
                 "host_workers": workers,
                 "total_bases": total_bases,
                 "overlaps": host["overlaps"],
+                # the north-star baseline is a 16-THREAD CPU; this box has
+                # `host_workers` cores, so carry the linear 16-thread
+                # extrapolation explicitly instead of letting the small-box
+                # ratio flatter the device number
+                "vs_16thread_equiv": round(
+                    host["wall"] / steady * workers / 16, 3
+                ),
+                "host_16thread_equiv_s": round(
+                    host["wall"] * workers / 16, 2
+                ),
                 "r01_metric_note": (
                     "r01 benchmarked candidate-pair counting only "
                     "(no chaining, single-process host baseline); this "

@@ -103,6 +103,7 @@ def find_overlaps_and_create_piles(
             )
             new = _concat([results[b] for b in batch_ids])
             batch_ids = []
+            touched: list[int] = []
             if new.size:
                 # distribute to both endpoint lists
                 rev = overlap_reverse(new)
@@ -111,6 +112,7 @@ def find_overlaps_and_create_piles(
                 for arr, order in ((new, order_lhs), (rev, order_rhs)):
                     srt = arr[order]
                     ids, starts = np.unique(srt["lhs_id"], return_index=True)
+                    touched.extend(ids.tolist())
                     for rid, chunk in zip(
                         ids.tolist(), np.split(srt, starts[1:])
                     ):
@@ -123,8 +125,10 @@ def find_overlaps_and_create_piles(
                     both["lhs_end"].astype(np.int64),
                 )
 
-            # cap stored overlaps (construct.cc:92-108)
-            for rid in range(n):
+            # cap stored overlaps (construct.cc:92-108); only reads that
+            # received overlaps this sub-batch can have grown, so the
+            # O(n)-per-sub-batch full sweep reduces to the touched set
+            for rid in sorted(set(touched)):
                 sz = int(overlaps[rid].size)
                 if sz == 0 or sz == num_overlaps[rid]:
                     continue

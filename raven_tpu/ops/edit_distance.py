@@ -88,6 +88,66 @@ def edit_distance(a: np.ndarray | str, b: np.ndarray | str) -> int:
     return _numpy_ed(a, b)
 
 
+_ED_BANDED_FN = None
+_ED_BANDED_TRIED = False
+
+
+def _native_ed_banded():
+    global _ED_BANDED_FN, _ED_BANDED_TRIED
+    if _ED_BANDED_FN is not None or _ED_BANDED_TRIED:
+        return _ED_BANDED_FN
+    _ED_BANDED_TRIED = True
+    from raven_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    fn = lib.raven_myers_ed_banded
+    fn.restype = ctypes.c_longlong
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_longlong,
+        ctypes.c_longlong,
+    ]
+    _ED_BANDED_FN = fn
+    return fn
+
+
+def edit_distance_banded(
+    a: np.ndarray | str, b: np.ndarray | str, k0: int = 4096
+) -> int:
+    """Exact global edit distance via block-banded Myers with Ukkonen
+    doubling: O(m * ED / 64) instead of O(m * n / 64) — megabase-scale
+    contig-vs-truth comparisons in seconds (the edlib banded path the
+    full-matrix kernel lacks).  Falls back to the full kernel when the
+    native library is unavailable."""
+    if isinstance(a, str):
+        from raven_tpu.io.readset import encode
+
+        a = encode(a)
+    if isinstance(b, str):
+        from raven_tpu.io.readset import encode
+
+        b = encode(b)
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    b = np.ascontiguousarray(b, dtype=np.uint8)
+    fn = _native_ed_banded()
+    if fn is None:
+        return edit_distance(a, b)
+    k = max(64, int(k0))
+    ap = a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    bp = b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    while True:
+        r = int(fn(ap, a.size, bp, b.size, k))
+        if r >= 0:
+            return r
+        if k >= max(a.size, b.size):
+            return edit_distance(a, b)
+        k *= 2
+
+
 def overlap_identity(overlaps: np.ndarray, readset) -> np.ndarray:
     """1 - ED/max(len) per overlap (reference construct.cc:177-199)."""
     from raven_tpu.io.readset import reverse_complement

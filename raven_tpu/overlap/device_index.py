@@ -54,6 +54,12 @@ from raven_tpu.ops.sketch import UINT32_INF, segment_reads, sketch_segments_kern
 
 SEG_WIDTH = 2048
 MAX_D = 32  # static unroll cap; occurrence > MAX_D + 1 -> host fallback
+# Pair codes pack (compacted index, distance) as uint32 gidx*(MAX_D+1)+d.
+# The largest encodable table: every code must stay strictly below the
+# 0xFFFFFFFF sentinel, so gidx <= (2^32-2-MAX_D)//(MAX_D+1).  Joins over
+# more usable entries than this return None (host fallback) — without the
+# bound, gidx >= 130,150,524 wraps modulo 2^32 and decodes wrong pairs.
+SAFE_JOIN_ENTRIES = (0xFFFFFFFE - MAX_D) // (MAX_D + 1) + 1
 
 # packed position column: pos | strand << 29 | flag << 30  (pos < 2^29)
 _STRAND_BIT = 29
@@ -621,6 +627,8 @@ class DeviceIndex:
                     self._key, self._counts, jnp.int32(occurrence)
                 )
             )
+            if n_usable > SAFE_JOIN_ENTRIES:
+                return None  # uint32 pair codes would wrap (see SAFE_JOIN_ENTRIES)
             M = _pow2_at_least(max(n_usable, 1), 1 << 12, 1 << 27)
             if n_usable > M:
                 return None

@@ -228,9 +228,20 @@ class MinimizerIndex:
 
     def _materialize_host(self) -> None:
         """Transfer the device-built index into the host columns (fallback
-        for generic map()/lookup callers)."""
+        for generic map()/lookup callers).
+
+        The construct pipeline uses map_many/distance_join and never lands
+        here; a generic per-read map() call forfeits the device-resident
+        build, so the (one-time) transfer is logged."""
         if self._device is None or self._hashes is not None:
             return
+        import sys
+
+        print(
+            "[raven_tpu::MinimizerEngine] materializing device index on "
+            f"host ({self._device.n_entries} entries) for generic lookup",
+            file=sys.stderr,
+        )
         h, i, p, s, f = self._device.to_host()
         self._hashes, self._ids, self._pos, self._strand = h, i, p, s
         self._qflag = f

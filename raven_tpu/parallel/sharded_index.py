@@ -31,6 +31,15 @@ except Exception:  # pragma: no cover
 
 from raven_tpu.ops.sketch import UINT32_INF
 
+
+def _note_fallback(why: str) -> None:
+    """Every sharded-path degradation is observable: one stderr line in the
+    reference's [scope] convention (silent host fallback on one hot hash
+    range would otherwise mask a whole-stage slowdown)."""
+    import sys
+
+    print(f"[raven_tpu::ShardedIndex] host fallback: {why}", file=sys.stderr)
+
 if HAS_JAX:
     from raven_tpu.ops.sketch import sketch_kernel
 
@@ -179,6 +188,12 @@ if HAS_JAX:
 from raven_tpu.ops.sketch import segment_reads, sketch_segments_kernel
 
 SH_MAX_D = 32  # static shift-distance cap (occurrence > SH_MAX_D + 1 -> host)
+# Per-device pair codes pack (local index, distance) as uint32
+# idx*(SH_MAX_D+1)+d; codes must stay strictly below the 0xFFFFFFFF
+# sentinel, so the per-device shard may hold at most this many entries
+# before the join must decline (host fallback) — beyond it the encoding
+# wraps modulo 2^32 and silently decodes wrong pairs.
+SH_SAFE_ENTRIES = (0xFFFFFFFE - SH_MAX_D) // (SH_MAX_D + 1) + 1
 _STRAND_BIT = 29
 _FLAG_BIT = 30
 _POS_MASK = (1 << _STRAND_BIT) - 1
@@ -367,6 +382,56 @@ if HAS_JAX:
                 ),
                 (P(axis), P(axis), P(axis), P(), P(), P()),
             )
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def _occ_search_step(mesh):
+        """Exact Filter threshold when the run-length quantile lands past
+        the clipped histogram tail (count >= _HBINS-1): the same binary
+        search over the threshold value as DeviceIndex._occurrence_search,
+        with the per-shard counts psum'd across the mesh each probe.
+        Mirrors ram Filter semantics: occurrence = counts_sorted[target]
+        over the distinct-key run lengths."""
+        axis = _mesh_axis(mesh)
+
+        def step(key, target):
+            m = key.shape[0]
+            idx = jnp.arange(m, dtype=jnp.int32)
+            newrun = jnp.concatenate(
+                [jnp.ones((1,), bool), key[1:] != key[:-1]]
+            )
+            start = jax.lax.cummax(jnp.where(newrun, idx, jnp.int32(-1)))
+            nxt = jax.lax.cummin(
+                jnp.concatenate(
+                    [
+                        jnp.where(newrun[1:], idx[1:], jnp.int32(m)),
+                        jnp.full((1,), m, jnp.int32),
+                    ]
+                ),
+                reverse=True,
+            )
+            counts = nxt - start
+            isrun = newrun & (key != UINT32_INF)
+
+            def body(_, lohi):
+                lo, hi = lohi
+                mid = (lo + hi) // 2
+                le = jax.lax.psum(
+                    jnp.where(
+                        isrun & (counts <= mid), jnp.int32(1), 0
+                    ).sum(),
+                    axis,
+                )
+                good = le >= target + 1
+                return jnp.where(good, lo, mid + 1), jnp.where(good, mid, hi)
+
+            lo, _ = jax.lax.fori_loop(
+                0, 28, body, (jnp.int32(1), jnp.int32(1) << 27)
+            )
+            return lo
+
+        return jax.jit(
+            _shard_map(step, mesh, (P(axis), P()), P())
         )
 
     def _join_step(mesh, maxd: int, capd: int, capm: int, capf: int, need_flags: bool):
@@ -599,6 +664,10 @@ class ShardedIndex:
             jax.device_put(jnp.asarray(budget), repl),
         )
         if int(overflow):
+            _note_fallback(
+                "per-device capacity overflow during build/exchange "
+                "(hot hash range or skewed shard); building on host"
+            )
             return None
         return cls(
             mesh,
@@ -624,8 +693,14 @@ class ShardedIndex:
         target = min(int((1.0 - frequency) * n_runs), n_runs - 1)
         cum = np.cumsum(self._hist)
         occ = int(np.searchsorted(cum, target + 1))
-        if occ >= _HBINS - 1:  # quantile in the clipped tail: be exact, punt
-            return np.iinfo(np.int64).max
+        if occ >= _HBINS - 1:
+            # quantile in the clipped histogram tail: compute the exact
+            # threshold with a psum'd device binary search instead of
+            # silently disabling frequency filtering
+            step = _occ_search_step(self.mesh)
+            occ = int(
+                step(self._key, jnp.asarray(target, jnp.int32))
+            )
         return occ
 
     # ------------------------------------------------------------------ join
@@ -642,11 +717,20 @@ class ShardedIndex:
         accepted for signature parity but chaining stays on the host here
         (per-shard matches are gathered before chaining)."""
         if occurrence > SH_MAX_D + 1:
+            _note_fallback(
+                f"occurrence {occurrence} > SH_MAX_D+1; joining on host"
+            )
             return None
         if need_flags and not self.has_flags:
             return None
         n = self.mesh.devices.size
         m_local = self._key.shape[0] // n
+        if m_local > SH_SAFE_ENTRIES:
+            _note_fallback(
+                f"per-device shard {m_local} entries exceeds uint32 "
+                f"pair-code domain {SH_SAFE_ENTRIES}; joining on host"
+            )
+            return None
         maxd = min(SH_MAX_D, max(occurrence - 1, 1))
         # hash ranges balance entries, not matches: leave 2x headroom over
         # the per-device average (overflow still falls back to host)
@@ -679,6 +763,11 @@ class ShardedIndex:
             f_ovf,
         ) = step(self._key, self._rid, self._packed, batch_tbl, occ)
         if int(ovf) or int(f_ovf):
+            _note_fallback(
+                "per-device match/filter capacity overflow "
+                f"(match_ovf={int(ovf)}, filt_ovf={int(f_ovf)}); "
+                "joining on host"
+            )
             return None
         q_id = np.asarray(q_id)
         valid = q_id >= 0

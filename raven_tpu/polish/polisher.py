@@ -19,6 +19,7 @@ plus the racon library dependency it drives):
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -434,11 +435,12 @@ class Polisher:
                     kwargs["chunk"] = 256 * dc.poa_batches
                 if dc is not None and dc.banded_alignment:
                     kwargs["banded"] = True
-                print(
-                    f"[raven_tpu::Polisher] device consensus "
-                    f"{len(windows)} windows {kwargs}",
-                    file=sys.stderr,
-                )
+                if os.environ.get("RAVEN_TPU_VERBOSE"):
+                    print(
+                        f"[raven_tpu::Polisher] device consensus "
+                        f"{len(windows)} windows {kwargs}",
+                        file=sys.stderr,
+                    )
                 return device_window_consensus(
                     windows, iterations=4, **kwargs
                 )

@@ -176,3 +176,41 @@ def test_join_flatten_pads_to_capj():
     assert out.shape == (capj,)
     assert out[:3].tolist() == [1, 3, 5]
     assert (out[3:] == 0xFFFFFFFF).all()
+
+
+def test_pair_code_domain_bound():
+    """uint32 pair codes gidx*(MAX_D+1)+d must never wrap or collide with
+    the 0xFFFFFFFF sentinel within the advertised join-table envelope
+    (advisor round-2 high finding)."""
+    from raven_tpu.overlap.device_index import MAX_D, SAFE_JOIN_ENTRIES
+
+    # largest permitted gidx encodes below the sentinel for every distance
+    gmax = np.uint64(SAFE_JOIN_ENTRIES - 1)
+    code_hi = gmax * np.uint64(MAX_D + 1) + np.uint64(MAX_D)
+    assert code_hi < np.uint64(0xFFFFFFFF)
+    # and decodes back exactly in uint32 arithmetic
+    c32 = np.uint32(code_hi)
+    assert int(c32) // (MAX_D + 1) == int(gmax)
+    assert int(c32) % (MAX_D + 1) == MAX_D
+    # one entry beyond the bound: some (gidx, d) either wraps past 2^32 or
+    # lands exactly on the sentinel -> the bound is tight
+    gbad = np.uint64(SAFE_JOIN_ENTRIES)
+    bad = gbad * np.uint64(MAX_D + 1) + np.uint64(MAX_D)
+    assert bad >= np.uint64(0xFFFFFFFF)
+
+
+def test_join_declines_beyond_code_domain(monkeypatch):
+    """distance_join must return None (host fallback) when the compacted
+    usable table exceeds the uint32 code domain."""
+    import raven_tpu.overlap.device_index as di
+
+    rs = _readset(genome_len=20000, coverage=6)
+    ids = np.arange(len(rs))
+    idx = _device_index(rs, ids, monkeypatch=monkeypatch)
+    dev = idx._device
+    dev._jcache = None
+    monkeypatch.setattr(
+        di, "_usable_count", lambda *a, **k: di.SAFE_JOIN_ENTRIES + 1
+    )
+    batch = np.ones(len(rs), dtype=bool)
+    assert dev.distance_join(4, batch, need_flags=False) is None

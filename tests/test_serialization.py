@@ -185,3 +185,51 @@ def test_gfa_line_format(rng):
     )
     assert "L\tr1\t+\tr1\t+\t0M" in l_lines  # circular self-link
     assert "L\tr1\t+\tr2\t+\t4M" in l_lines  # overlap = len - edge length
+
+
+def test_checkpoint_is_inert_data(tmp_path):
+    """The checkpoint archive must be inert (npz + JSON): loading must not
+    unpickle, and corrupt/foreign files must raise cleanly."""
+    import io
+    import json
+    import pickle
+    import zipfile
+
+    import pytest
+
+    from raven_tpu.graph.binary import load_graph, store_graph
+    from raven_tpu.graph.graph import Graph
+
+    g = Graph()
+    g.stage = -3
+    path = str(tmp_path / "ck.ckpt")
+    store_graph(g, path)
+
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+        assert names == {"MANIFEST.json", "arrays.npz"}
+        manifest = json.loads(zf.read("MANIFEST.json"))
+        assert manifest["magic"] == "raven_tpu-checkpoint"
+        # numpy arrays load with allow_pickle=False (would raise on any
+        # pickled object array)
+        import numpy as np
+
+        np.load(io.BytesIO(zf.read("arrays.npz")), allow_pickle=False)
+
+    # a pickle (the old format / hostile file) is rejected, not executed
+    evil = str(tmp_path / "evil.ckpt")
+    with open(evil, "wb") as fh:
+        pickle.dump({"stage": 0}, fh)
+    with pytest.raises((ValueError, zipfile.BadZipFile)):
+        load_graph(evil)
+
+    # version check
+    bad = str(tmp_path / "bad.ckpt")
+    with zipfile.ZipFile(bad, "w") as zf:
+        zf.writestr(
+            "MANIFEST.json",
+            json.dumps({"magic": "raven_tpu-checkpoint", "version": 99}),
+        )
+        zf.writestr("arrays.npz", b"")
+    with pytest.raises(ValueError, match="version"):
+        load_graph(bad)

@@ -193,3 +193,40 @@ def test_sharded_construct_end_to_end(mesh8, rng, monkeypatch, tmp_path):
     live_h = sorted(n.id for n in g_host.live_nodes())
     live_s = sorted(n.id for n in g_shard.live_nodes())
     assert live_s == live_h
+
+
+def test_sharded_filter_exact_in_clipped_tail(mesh8):
+    """When the Filter quantile lands past the 512-bin histogram tail the
+    threshold must be computed exactly (device binary search), not punted
+    to the no-filter sentinel (advisor round-2 medium finding)."""
+    from raven_tpu.ops.sketch import UINT32_INF
+    from raven_tpu.parallel.sharded_index import ShardedIndex, _HBINS
+
+    # synthetic exchanged index: run lengths 600, 550, and 510 singles —
+    # quantile at high frequency lands in the clipped >=511 bin
+    run_lengths = [600, 550] + [1] * 510
+    keys = []
+    for i, c in enumerate(run_lengths):
+        keys.extend([i] * c)
+    m_local = 2048
+    n_dev = mesh8.devices.size
+    key = np.full(n_dev * m_local, UINT32_INF, dtype=np.uint32)
+    key[: len(keys)] = np.array(keys, dtype=np.uint32)  # shard 0 only
+    rid = np.zeros_like(key, dtype=np.int32)
+    packed = np.zeros_like(key, dtype=np.int32)
+
+    hist = np.zeros(_HBINS, dtype=np.int64)
+    for c in run_lengths:
+        hist[min(c, _HBINS - 1)] += 1
+
+    sh = ShardedIndex(
+        mesh8, key, rid, packed, len(keys), hist, False, 15, 5
+    )
+    n_runs = len(run_lengths)
+    counts_sorted = np.sort(run_lengths)
+    for f in (0.001, 0.002, 0.003):
+        target = min(int((1.0 - f) * n_runs), n_runs - 1)
+        expected = int(counts_sorted[target])
+        got = sh.occurrence_for(f)
+        assert got == expected, (f, got, expected)
+        assert got < np.iinfo(np.int64).max
