@@ -223,19 +223,67 @@ if HAS_JAX:
         )
         return base_votes, ins_votes, cover
 
+    @functools.partial(
+        jax.jit, static_argnames=("T", "Q", "STEPS", "NWIN", "band")
+    )
+    def fused_votes_scan_kernel(
+        cons_arr,
+        cons_lens,
+        cons_runs,
+        frags,
+        q_lens,
+        wts,
+        win_idx,
+        T: int,
+        Q: int,
+        STEPS: int,
+        NWIN: int,
+        band: int = 0,
+    ):
+        """All fragment chunks of one refinement iteration in ONE device
+        dispatch (lax.scan over chunk rows) — each separate dispatch costs
+        a ~0.3 s round trip through the remote-TPU tunnel, which dominated
+        the consensus wall time at 8+ chunks per iteration.
+
+        frags [C, chunk, Q], q_lens/win_idx [C, chunk], wts [C, chunk, Q].
+        Same outputs as summing fused_votes_kernel over the chunks.
+        """
+
+        def body(acc, xs):
+            f, ql, w, wi = xs
+            bv, iv, cv = fused_votes_kernel(
+                cons_arr, cons_lens, cons_runs, f, ql, w, wi,
+                T, Q, STEPS, NWIN, band,
+            )
+            return (acc[0] + bv, acc[1] + iv, acc[2] + cv), None
+
+        init = (
+            jnp.zeros((NWIN, T, 5), jnp.int32),
+            jnp.zeros((NWIN, T + 1, 4), jnp.int32),
+            jnp.zeros((NWIN, T), jnp.int32),
+        )
+        (bv, iv, cv), _ = jax.lax.scan(
+            body, init, (frags, q_lens, wts, win_idx)
+        )
+        return bv, iv, cv
+
 
 def homopolymer_run_map(cons_arr: np.ndarray, cons_lens: np.ndarray) -> np.ndarray:
     """cons_runs[w, t, b]: canonical junction index for inserting base b
-    before position t — the start of the maximal run of b ending at t-1."""
+    before position t — the start of the maximal run of b ending at t-1.
+
+    Vectorized: the run start is the most recent junction whose preceding
+    character differs from b (a running maximum over break positions)."""
     n_win, T = cons_arr.shape
-    runs = np.broadcast_to(
-        np.arange(T + 1, dtype=np.int32)[None, :, None], (n_win, T + 1, 4)
-    ).copy()
-    for t in range(1, T + 1):
-        prev_char = cons_arr[:, t - 1]
-        for b in range(4):
-            match = prev_char == b
-            runs[match, t, b] = runs[match, t - 1, b]
+    t_idx = np.arange(T + 1, dtype=np.int32)
+    # breaks[w, t, b] = t where cons[w, t-1] != b (junction resets), else 0;
+    # t = 0 is always a break
+    is_b = cons_arr[:, :, None] == np.arange(4, dtype=cons_arr.dtype)
+    breaks = np.where(is_b, 0, t_idx[None, 1:, None]).astype(np.int32)
+    runs = np.empty((n_win, T + 1, 4), dtype=np.int32)
+    runs[:, 0, :] = 0
+    np.maximum.accumulate(breaks, axis=1, out=breaks)
+    runs[:, 1:, :] = breaks
     return runs
 
 
@@ -372,11 +420,12 @@ def device_window_consensus(
         for i, wrow in enumerate(weight_rows):
             w_arr[i, : wrow.size] = wrow
 
-    # fragments/weights are iteration-invariant: device-resident once
-    frags_dev = jnp.asarray(frags_arr)
-    wts_dev = jnp.asarray(w_arr)
-    qlens_dev = jnp.asarray(q_lens)
-    winof_dev = jnp.asarray(win_of_arr)
+    # fragments/weights are iteration-invariant: device-resident once,
+    # pre-shaped [n_chunks, chunk, ...] for the single-dispatch chunk scan
+    frags_dev = jnp.asarray(frags_arr.reshape(n_chunks, chunk, q_pad))
+    wts_dev = jnp.asarray(w_arr.reshape(n_chunks, chunk, q_pad))
+    qlens_dev = jnp.asarray(q_lens.reshape(n_chunks, chunk))
+    winof_dev = jnp.asarray(win_of_arr.reshape(n_chunks, chunk))
 
     steps = t_pad + q_pad
     band = max(128, q_pad // 6) if banded else 0
@@ -392,28 +441,20 @@ def device_window_consensus(
         clens_dev = jnp.asarray(cons_lens)
         cruns_dev = jnp.asarray(cons_runs)
 
-        bv_dev = jnp.zeros((NWIN, t_pad, 5), jnp.int32)
-        iv_dev = jnp.zeros((NWIN, t_pad + 1, 4), jnp.int32)
-        cv_dev = jnp.zeros((NWIN, t_pad), jnp.int32)
-        for c0 in range(0, B_pad, chunk):
-            sl = slice(c0, c0 + chunk)
-            bv, iv, cv = fused_votes_kernel(
-                cons_dev,
-                clens_dev,
-                cruns_dev,
-                frags_dev[sl],
-                qlens_dev[sl],
-                wts_dev[sl],
-                winof_dev[sl],
-                t_pad,
-                q_pad,
-                steps,
-                NWIN,
-                band,
-            )
-            bv_dev += bv
-            iv_dev += iv
-            cv_dev += cv
+        bv_dev, iv_dev, cv_dev = fused_votes_scan_kernel(
+            cons_dev,
+            clens_dev,
+            cruns_dev,
+            frags_dev,
+            qlens_dev,
+            wts_dev,
+            winof_dev,
+            t_pad,
+            q_pad,
+            steps,
+            NWIN,
+            band,
+        )
         base_votes = np.asarray(bv_dev).astype(np.int64)
         ins_votes = np.asarray(iv_dev).astype(np.int64)
         cover = np.asarray(cv_dev).astype(np.int64)
@@ -443,27 +484,39 @@ def rebuild_consensus(
     cover: np.ndarray,
     num_fragments: int,
 ) -> np.ndarray:
-    """One window's consensus update from votes (host)."""
-    out: list[int] = []
-    for t in range(cons_len + 1):
-        iv = ins_votes[t]
-        if iv.sum() > 0:
-            b = int(iv.argmax())
-            # adopt an insertion once its weight clears a quarter of the
-            # adjacent column weight: alignment ambiguity splits insertion
-            # votes across neighbouring junctions, so a majority rule
-            # starves real insertions (noise support sits far below 25%)
-            col_w = base_votes[t - 1].sum() if t > 0 else base_votes[0].sum()
-            if iv[b] * 4 > col_w:
-                out.append(b)
-        if t == cons_len:
-            break
-        bv = base_votes[t]
-        if bv.sum() == 0:
-            out.append(int(cons[t]))
-            continue
-        b = int(bv.argmax())
-        if b < 4:
-            out.append(b)
-        # b == 4: deletion wins -> emit nothing
-    return np.array(out, dtype=np.uint8)
+    """One window's consensus update from votes (host, vectorized).
+
+    Per junction t: adopt an insertion once its weight clears a quarter of
+    the adjacent column weight (alignment ambiguity splits insertion votes
+    across neighbouring junctions, so a majority rule starves real
+    insertions; noise support sits far below 25%).  Per column t: emit the
+    argmax base, the original base when unvoted, nothing when the deletion
+    slot wins.  Output interleaves [ins_0, base_0, ins_1, base_1, ...]."""
+    L = cons_len
+    iv = ins_votes[: L + 1]  # [L+1, 4]
+    bv = base_votes[:L]  # [L, 5]
+    iv_sum = iv.sum(axis=1)
+    ib = np.argmax(iv, axis=1)
+    # adjacent column weight: base_votes[t-1] for t>0, base_votes[0] at t=0
+    col_w = np.empty(L + 1, dtype=np.int64)
+    bv_sums = bv.sum(axis=1)
+    if L > 0:
+        col_w[0] = bv_sums[0]
+        col_w[1:] = bv_sums
+    else:
+        col_w[0] = base_votes[0].sum()
+    ins_on = (iv_sum > 0) & (iv[np.arange(L + 1), ib] * 4 > col_w)
+
+    bb = np.argmax(bv, axis=1) if L else np.zeros(0, np.int64)
+    unvoted = bv_sums == 0
+    base_sym = np.where(unvoted, cons[:L], bb).astype(np.int64)
+    base_on = unvoted | (bb < 4)
+
+    # interleave: slot 2t = insertion at junction t, slot 2t+1 = column t
+    toks = np.zeros(2 * L + 1, dtype=np.int64)
+    on = np.zeros(2 * L + 1, dtype=bool)
+    toks[0::2] = ib
+    on[0::2] = ins_on
+    toks[1::2] = base_sym
+    on[1::2] = base_on
+    return toks[on].astype(np.uint8)

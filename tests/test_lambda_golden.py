@@ -51,3 +51,94 @@ def test_lambda_assembly_golden(lambda_reads, lambda_truth):
     print(f"lambda unitig len {u.length}, ED vs truth {ed} "
           f"(reference golden {REFERENCE_GOLDEN_ED})")
     assert ed <= ED_CEILING
+
+
+# Per-path inner regression bands: the hard gate above is the reference's
+# 1137, but all three consensus paths sit well below it (round-2 values:
+# hybrid 944 / device-only 1117 / host 1132); a regression inside the 1137
+# ceiling would otherwise ship silently.  Bands leave ~5% headroom over
+# the recorded values.
+PATH_BANDS = {"hybrid": 1000, "device": 1137, "host": 1137}
+
+
+def _polish_rounds(graph_unitigs, readset, mode: str, rounds: int = 2):
+    import numpy as np
+
+    from raven_tpu.polish.polisher import Polisher
+
+    unitig_nodes, name_of = graph_unitigs
+    avg_q = 0.0
+    if readset.has_quality:
+        for i in range(len(readset)):
+            avg_q += readset.mean_quality(i)
+        avg_q /= len(readset)
+    polisher = Polisher(quality_threshold=avg_q)
+    targets = [(name_of(n), n.codes) for n in unitig_nodes]
+    name_to_node = {n.name: n for n in unitig_nodes}
+    for r in range(rounds):
+        if mode == "hybrid":
+            # the production schedule (polish/__init__.py): POA rounds,
+            # device-voting finish.  Forced True (not None/auto) so the
+            # CPU CI measures the same computation the TPU runs.
+            polisher.use_device_consensus = r == rounds - 1
+        else:
+            polisher.use_device_consensus = mode == "device"
+        results = polisher.polish(targets, readset, include_unpolished=False)
+        # circular rotation, as polish() does (polish.cc:60-66)
+        targets = []
+        for name, codes in results:
+            node = name_to_node.get(name.split()[0])
+            if node is not None and node.is_circular:
+                b = int(0.42 * codes.size)
+                codes = np.concatenate([codes[b:], codes[:b]])
+            targets.append((name, codes))
+    return targets
+
+
+def test_lambda_per_path_quality_log(lambda_reads, lambda_truth, tmp_path):
+    """All three consensus paths on one construct+assemble, each asserted
+    against its inner band, values recorded machine-readably in
+    QUALITY_lambda.json at the repo root (committed every round)."""
+    import json
+    import os
+
+    from raven_tpu.config import OverlapPhaseCfg
+    from raven_tpu.graph import Graph, assemble, construct_graph
+    from raven_tpu.graph.common import get_unitigs, unitig_record_name
+    from raven_tpu.io.readset import reverse_complement
+    from raven_tpu.ops.edit_distance import edit_distance
+
+    graph = Graph()
+    construct_graph(graph, lambda_reads, OverlapPhaseCfg(use_minhash=True))
+    assemble(graph)
+    unitig_nodes = get_unitigs(graph)
+    truth = lambda_truth.sequence(0)
+
+    values = {}
+    for mode in ("hybrid", "device", "host"):
+        results = _polish_rounds(
+            (unitig_nodes, unitig_record_name), lambda_reads, mode
+        )
+        assert len(results) == 1
+        codes = results[0][1]
+        ed = min(
+            edit_distance(codes, truth),
+            edit_distance(reverse_complement(codes), truth),
+        )
+        values[mode] = {"ed": int(ed), "contig_len": int(codes.size)}
+        print(f"lambda {mode}: len {codes.size}, ED {ed} "
+              f"(band {PATH_BANDS[mode]})")
+
+    out = {
+        "dataset": "lambda ERA476754 vs NC_001416, 2 polish rounds",
+        "reference_golden_ed": REFERENCE_GOLDEN_ED,
+        "paths": values,
+        "bands": PATH_BANDS,
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "QUALITY_lambda.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+        fh.write("\n")
+
+    for mode, band in PATH_BANDS.items():
+        assert values[mode]["ed"] <= band, (mode, values[mode])
