@@ -126,14 +126,59 @@ def ng50(lengths: list[int], genome_size: int) -> int:
     return 0
 
 
-def contig_ed(codes: np.ndarray, truth: np.ndarray) -> int:
+def _anchor_span(codes: np.ndarray, truth: np.ndarray, k: int = 48):
+    """Locate the contig's span in truth via exact k-mer probes near the
+    contig's ends (several probes each — post-polish error ~0.1% leaves
+    most k-mers exact).  Returns (t_start, t_end) or None."""
+    tb = truth.tobytes()
+    n = codes.size
+
+    def probe(region_start: int, count: int = 8, stride: int = 199):
+        for i in range(count):
+            o = region_start + i * stride
+            if o < 0 or o + k > n:
+                continue
+            p = tb.find(codes[o : o + k].tobytes())
+            if p >= 0:
+                return o, p
+        return None
+
+    head = probe(0)
+    tail = probe(n - k - 8 * 199)
+    if head is None or tail is None:
+        return None
+    t_start = head[1] - head[0]
+    t_end = tail[1] + (n - tail[0])
+    if t_end <= t_start:
+        return None
+    return max(0, t_start), min(truth.size, t_end)
+
+
+def contig_ed(codes: np.ndarray, truth: np.ndarray) -> tuple[int, int]:
+    """(edit distance, aligned truth span).  The contig is aligned
+    against the truth REGION it assembles (anchored by exact k-mers),
+    not the whole genome — a half-genome contig should score its own
+    errors, not the other half's absence.  Falls back to whole-truth
+    global ED when anchoring fails.  Both orientations tried."""
     from raven_tpu.io.readset import reverse_complement
     from raven_tpu.ops.edit_distance import edit_distance_banded
 
-    return min(
+    best = None
+    for cand in (codes, reverse_complement(codes)):
+        span = _anchor_span(cand, truth)
+        if span is None:
+            continue
+        s, e = span
+        ed = edit_distance_banded(cand, truth[s:e])
+        if best is None or ed < best[0]:
+            best = (int(ed), int(e - s))
+    if best is not None:
+        return best
+    ed = min(
         edit_distance_banded(codes, truth),
         edit_distance_banded(reverse_complement(codes), truth),
     )
+    return int(ed), int(truth.size)
 
 
 # ------------------------------------------------------------------ pipeline
@@ -232,11 +277,30 @@ def cmd_run(args) -> int:
         "timings": timings,
     }
     if unitigs:
-        largest = max(unitigs, key=lambda n: n.codes.size)
         t0 = time.perf_counter()
-        result["largest_contig_ed_vs_truth"] = contig_ed(largest.codes, truth)
+        per_contig = []
+        total_ed = 0
+        total_span = 0
+        for u in sorted(unitigs, key=lambda n: -n.codes.size):
+            ed, span = contig_ed(u.codes, truth)
+            per_contig.append(
+                {"len": int(u.codes.size), "ed": ed, "aligned_span": span}
+            )
+            total_ed += ed
+            total_span += span
+        result["contigs_ed"] = per_contig
+        result["total_ed"] = total_ed
+        result["total_aligned_span"] = total_span
+        result["ed_rate_pct"] = round(
+            100.0 * total_ed / max(total_span, 1), 4
+        )
+        result["genome_fraction_pct"] = round(
+            100.0 * min(total_span, genome_size) / genome_size, 2
+        )
+        largest = per_contig[0]
+        result["largest_contig_ed_vs_truth"] = largest["ed"]
+        result["largest_contig_len"] = largest["len"]
         result["ed_eval_s"] = round(time.perf_counter() - t0, 2)
-        result["largest_contig_len"] = int(largest.codes.size)
     if args.dataset == "lambda":
         result["reference_golden_ed"] = REFERENCE_GOLDEN_LAMBDA_ED
 
@@ -330,14 +394,20 @@ def cmd_report(args) -> int:
         )
 
     w("## 2. Quality table\n\n")
-    w("| dataset | input | contigs | largest (bp) | NG50 | ED vs truth | "
-      "ED rate | reference anchor |\n")
-    w("|---|---|---|---|---|---|---|---|\n")
+    w("ED is the exact banded edit distance of each contig against the "
+      "truth region it assembles (anchored by exact 48-mers); the rate "
+      "is total ED over total aligned span.\n\n")
+    w("| dataset | input | contigs | largest (bp) | NG50 | total ED | "
+      "ED rate | genome frac | reference anchor |\n")
+    w("|---|---|---|---|---|---|---|---|---|\n")
     for r in results:
-        ed = r.get("largest_contig_ed_vs_truth", "—")
+        ed = r.get("total_ed", r.get("largest_contig_ed_vs_truth", "—"))
         rate = (
-            f"{ed / r['genome_size'] * 100:.3f}%"
-            if isinstance(ed, int)
+            f"{r['ed_rate_pct']}%" if "ed_rate_pct" in r else "—"
+        )
+        frac = (
+            f"{r['genome_fraction_pct']}%"
+            if "genome_fraction_pct" in r
             else "—"
         )
         anchor = (
@@ -349,7 +419,7 @@ def cmd_report(args) -> int:
             f"| {r['dataset']} | {r['n_reads']} reads / "
             f"{r['total_bases']/1e6:.0f} Mb | {r['n_contigs']} | "
             f"{r.get('largest_contig_len', '—')} | {r['ng50']} | {ed} | "
-            f"{rate} | {anchor} |\n"
+            f"{rate} | {frac} | {anchor} |\n"
         )
     w("\n")
 

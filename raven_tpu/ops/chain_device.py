@@ -55,7 +55,7 @@ MIN_MATCHES = 4
 MAX_GAP = 10000
 MIN_SPAN = 100
 
-BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 I32_INF = 2**31 - 1  # sentinel (also the padded-row query id)
 
 
@@ -150,6 +150,14 @@ if HAS_JAX:
         bidx = jnp.zeros(n, jnp.int32)
         for b_i in range(1, n_buckets):
             bidx = jnp.where(size_d > BUCKETS[b_i - 1], b_i, bidx)
+        # groups beyond the top bucket go to the oversize pseudo-bucket
+        # (index n_buckets) and are chained per-group on the host; the
+        # rest of the batch stays on device
+        bidx = jnp.where(
+            (size_d > BUCKETS[n_buckets - 1]) & (size_d != I32_INF),
+            jnp.int32(n_buckets),
+            bidx,
+        )
         bkey = jnp.where(is_desc, bidx, jnp.int32(I32_INF))
         # gid = group rank in global (read, tid, strand, diagonal) order;
         # the final (gid, piece) sort reproduces host emission order
@@ -164,10 +172,11 @@ if HAS_JAX:
             ),
             num_keys=2,
         )
+        # counts per bucket + the oversize pseudo-bucket (last entry)
         n_per_bucket = jnp.stack(
             [
                 (bkey_s == b_i).sum(dtype=jnp.int32)
-                for b_i in range(n_buckets)
+                for b_i in range(n_buckets + 1)
             ]
         )
         return (
@@ -385,48 +394,69 @@ if HAS_JAX:
         ]
         srt = jax.lax.sort(tuple(cat), num_keys=2)
         count = (srt[0] != I32_INF).sum(dtype=jnp.int32)
-        # qid, tid, lhs_b, lhs_e, rhs_b, rhs_e, cnt, same
-        return jnp.stack(srt[2:]), count
+        # gid, qid, tid, lhs_b, lhs_e, rhs_b, rhs_e, cnt, same (gid kept
+        # so host-chained oversize groups can merge in emission order)
+        return jnp.stack((srt[0],) + srt[2:]), count
 
     @functools.partial(jax.jit, static_argnames=("take",))
     def _slice_cols(stacked, take):
         return jax.lax.slice_in_dim(stacked, 0, take, axis=1)
 
 
-def chain_from_prepared(prepared, k):
-    """Finish chaining from _chain_prepare/_prepare_core outputs: size
-    bucketing, the LIS dispatch, and host assembly of the per-read
-    overlap dict.  None when a group exceeds the top size bucket."""
-    anchors, descs, n_per_bucket, max_size = prepared
-    n_per_bucket = np.asarray(n_per_bucket)
-    if int(max_size) > BUCKETS[-1]:
-        return None  # repeat-monster group: host fallback
+def chain_oversize_groups_host(
+    anchors, descs, off_over: int, n_over: int, k, base: int = 0
+):
+    """Host-chain the oversize pseudo-bucket's groups (> top LIS bucket):
+    gather just those groups' anchor spans to the host and run the host
+    chain oracle per group.  Returns (overlap rows [OVERLAP_DTYPE], gid
+    per row) — merged into the device emission stream by gid.  `base`
+    shifts descriptor-local anchor starts into the global anchor arrays
+    (the sharded path's per-shard offsets)."""
+    from raven_tpu.overlap.chain import chain_matches
 
-    offs = np.zeros(len(BUCKETS), dtype=np.int32)
-    np.cumsum(n_per_bucket[:-1], out=offs[1:])
-    bucket_ns = tuple(
-        0 if int(nb) == 0 else _pow2_at_least(int(nb), 256, 1 << 26)
-        for nb in n_per_bucket
+    qs, ts, same_s, qp, tp = anchors
+    dstart, dsize, dgid = descs
+    st = np.asarray(
+        jax.lax.dynamic_slice_in_dim(dstart, off_over, n_over)
     )
-    if not any(bucket_ns):
-        return {}
+    sz = np.asarray(
+        jax.lax.dynamic_slice_in_dim(dsize, off_over, n_over)
+    )
+    gi = np.asarray(
+        jax.lax.dynamic_slice_in_dim(dgid, off_over, n_over)
+    )
+    rows: list[np.ndarray] = []
+    gids: list[np.ndarray] = []
+    for s, z, g in zip(st.tolist(), sz.tolist(), gi.tolist()):
+        if z <= 0 or z == I32_INF:
+            continue
+        s += base
+        sl = slice(s, s + z)
+        qid_g = int(np.asarray(qs[s]))
+        ovl = chain_matches(
+            qid_g,
+            np.asarray(ts[sl]).astype(np.uint32),
+            np.asarray(same_s[sl]).astype(np.uint8),
+            np.asarray(qp[sl]).astype(np.int64),
+            np.asarray(tp[sl]).astype(np.int64),
+            int(k),
+        )
+        if ovl.size:
+            rows.append(ovl)
+            gids.append(np.full(ovl.size, g, dtype=np.int64))
+    if not rows:
+        return (
+            np.zeros(0, dtype=OVERLAP_DTYPE),
+            np.zeros(0, dtype=np.int64),
+        )
+    return np.concatenate(rows), np.concatenate(gids)
 
-    stacked, count = _chain_lis(
-        anchors,
-        descs,
-        jnp.asarray(offs),
-        jnp.asarray(n_per_bucket.astype(np.int32)),
-        bucket_ns,
-        int(k),
-    )
-    count = int(count)
-    if count == 0:
-        return {}
-    take = min(
-        _pow2_at_least(count, 1 << 10, 1 << 30), int(stacked.shape[1])
-    )
-    cols = np.asarray(_slice_cols(stacked, take))[:, :count]
-    qid, tid, lhs_b, lhs_e, rhs_b, rhs_e, cnt, same_o = cols
+
+def _assemble_overlaps(cols, count, host_rows=None, host_gids=None):
+    """Build the {read_id: overlaps} dict from device chain columns
+    (gid-led, emission-ordered), merging host-chained oversize groups at
+    their gid rank."""
+    gid, qid, tid, lhs_b, lhs_e, rhs_b, rhs_e, cnt, same_o = cols
     big = np.zeros(count, dtype=OVERLAP_DTYPE)
     big["lhs_id"] = qid
     big["lhs_begin"] = lhs_b
@@ -436,11 +466,67 @@ def chain_from_prepared(prepared, k):
     big["rhs_end"] = rhs_e
     big["score"] = cnt
     big["strand"] = same_o
+    gid = gid.astype(np.int64)
+    if host_rows is not None and host_rows.size:
+        big = np.concatenate([big, host_rows])
+        gid = np.concatenate([gid, host_gids])
+        order = np.argsort(gid, kind="stable")
+        big = big[order]
     out: dict[int, np.ndarray] = {}
-    uniq, starts = np.unique(qid, return_index=True)
+    uniq, starts = np.unique(big["lhs_id"], return_index=True)
     for u, piece in zip(uniq, np.split(big, starts[1:])):
         out[int(u)] = piece
     return out
+
+
+def chain_from_prepared(prepared, k):
+    """Finish chaining from _chain_prepare/_prepare_core outputs: size
+    bucketing, the LIS dispatch, host assembly of the per-read overlap
+    dict.  Groups beyond the top size bucket are chained per-group on the
+    host and merged back in emission order — the rest of the batch stays
+    on device."""
+    anchors, descs, n_per_bucket, max_size = prepared
+    n_per_bucket = np.asarray(n_per_bucket)
+    n_over = int(n_per_bucket[len(BUCKETS)])
+
+    offs = np.zeros(len(BUCKETS), dtype=np.int32)
+    np.cumsum(n_per_bucket[: len(BUCKETS) - 1], out=offs[1:])
+    bucket_ns = tuple(
+        0 if int(nb) == 0 else _pow2_at_least(int(nb), 256, 1 << 26)
+        for nb in n_per_bucket[: len(BUCKETS)]
+    )
+    host_rows = host_gids = None
+    if n_over:
+        off_over = int(n_per_bucket[: len(BUCKETS)].sum())
+        host_rows, host_gids = chain_oversize_groups_host(
+            anchors, descs, off_over, n_over, k
+        )
+    if not any(bucket_ns):
+        if host_rows is None or not host_rows.size:
+            return {}
+        empty = (np.zeros(0, np.int64),) * 9
+        return _assemble_overlaps(empty, 0, host_rows, host_gids)
+
+    stacked, count = _chain_lis(
+        anchors,
+        descs,
+        jnp.asarray(offs),
+        jnp.asarray(n_per_bucket[: len(BUCKETS)].astype(np.int32)),
+        bucket_ns,
+        int(k),
+    )
+    count = int(count)
+    if count == 0 and (host_rows is None or not host_rows.size):
+        return {}
+    take = max(
+        1,
+        min(
+            _pow2_at_least(max(count, 1), 1 << 10, 1 << 30),
+            int(stacked.shape[1]),
+        ),
+    )
+    cols = np.asarray(_slice_cols(stacked, take))[:, :count]
+    return _assemble_overlaps(cols, count, host_rows, host_gids)
 
 
 def chain_matches_device(q_id, q_pos, t_id, t_pos, same, k):

@@ -268,6 +268,63 @@ if HAS_JAX:
         return bv, iv, cv
 
 
+    @functools.lru_cache(maxsize=None)
+    def _votes_step_sharded(mesh, T, Q, STEPS, NWIN, band):
+        """Multi-chip consensus: fragment chunks shard over the mesh
+        (windows are embarrassingly parallel — BASELINE 'polishing at
+        1 chip / 1 host / N hosts'); every device scans its local chunks
+        with the same fused kernel and the small per-window vote tables
+        psum-reduce.  Output is bit-identical to the single-device path
+        (integer adds commute)."""
+        from jax.sharding import PartitionSpec as P
+
+        names = mesh.axis_names
+        axis = names[0] if len(names) == 1 else tuple(names)
+
+        def step(cons_arr, cons_lens, cons_runs, frags, q_lens, wts, win_idx):
+            bv, iv, cv = fused_votes_scan_kernel(
+                cons_arr, cons_lens, cons_runs,
+                frags, q_lens, wts, win_idx,
+                T, Q, STEPS, NWIN, band,
+            )
+            return (
+                jax.lax.psum(bv, axis),
+                jax.lax.psum(iv, axis),
+                jax.lax.psum(cv, axis),
+            )
+
+        try:
+            from jax import shard_map
+
+            return jax.jit(
+                shard_map(
+                    step,
+                    mesh=mesh,
+                    in_specs=(
+                        P(), P(), P(),
+                        P(axis), P(axis), P(axis), P(axis),
+                    ),
+                    out_specs=(P(), P(), P()),
+                    check_vma=False,
+                )
+            )
+        except (ImportError, TypeError):  # older jax
+            from jax.experimental.shard_map import shard_map as _sm
+
+            return jax.jit(
+                _sm(
+                    step,
+                    mesh=mesh,
+                    in_specs=(
+                        P(), P(), P(),
+                        P(axis), P(axis), P(axis), P(axis),
+                    ),
+                    out_specs=(P(), P(), P()),
+                    check_rep=False,
+                )
+            )
+
+
 def homopolymer_run_map(cons_arr: np.ndarray, cons_lens: np.ndarray) -> np.ndarray:
     """cons_runs[w, t, b]: canonical junction index for inserting base b
     before position t — the start of the maximal run of b ending at t-1.
@@ -368,12 +425,15 @@ def device_window_consensus(
     q_pad: int = 768,
     chunk: int = 2048,
     banded: bool = False,
+    mesh=None,
 ) -> list[np.ndarray]:
     """Batched consensus for many windows at once.
 
     windows: [(backbone, fragments, weights-or-None)].  Returns one
     consensus array per window.  All windows' fragments are flattened into
     fixed-shape NW + traceback dispatches; votes aggregate on the host.
+    With a mesh, fragment chunks shard across its devices and the vote
+    tables psum-reduce (bit-identical output, see _votes_step_sharded).
     """
     if not HAS_JAX:
         raise RuntimeError("jax unavailable")
@@ -403,6 +463,9 @@ def device_window_consensus(
     # pad rows to a whole number of chunks and windows to a power-of-two
     # bucket so every dispatch reuses one compiled shape
     n_chunks = -(-B_total // chunk)
+    if mesh is not None:  # chunk axis shards evenly over the mesh
+        n_dev = mesh.devices.size
+        n_chunks = -(-n_chunks // n_dev) * n_dev
     B_pad = n_chunks * chunk
     NWIN = 8
     while NWIN < n_win:
@@ -422,10 +485,30 @@ def device_window_consensus(
 
     # fragments/weights are iteration-invariant: device-resident once,
     # pre-shaped [n_chunks, chunk, ...] for the single-dispatch chunk scan
-    frags_dev = jnp.asarray(frags_arr.reshape(n_chunks, chunk, q_pad))
-    wts_dev = jnp.asarray(w_arr.reshape(n_chunks, chunk, q_pad))
-    qlens_dev = jnp.asarray(q_lens.reshape(n_chunks, chunk))
-    winof_dev = jnp.asarray(win_of_arr.reshape(n_chunks, chunk))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        names = mesh.axis_names
+        ax = names[0] if len(names) == 1 else tuple(names)
+        sh3 = NamedSharding(mesh, P(ax, None, None))
+        sh2 = NamedSharding(mesh, P(ax, None))
+        frags_dev = jax.device_put(
+            jnp.asarray(frags_arr.reshape(n_chunks, chunk, q_pad)), sh3
+        )
+        wts_dev = jax.device_put(
+            jnp.asarray(w_arr.reshape(n_chunks, chunk, q_pad)), sh3
+        )
+        qlens_dev = jax.device_put(
+            jnp.asarray(q_lens.reshape(n_chunks, chunk)), sh2
+        )
+        winof_dev = jax.device_put(
+            jnp.asarray(win_of_arr.reshape(n_chunks, chunk)), sh2
+        )
+    else:
+        frags_dev = jnp.asarray(frags_arr.reshape(n_chunks, chunk, q_pad))
+        wts_dev = jnp.asarray(w_arr.reshape(n_chunks, chunk, q_pad))
+        qlens_dev = jnp.asarray(q_lens.reshape(n_chunks, chunk))
+        winof_dev = jnp.asarray(win_of_arr.reshape(n_chunks, chunk))
 
     steps = t_pad + q_pad
     band = max(128, q_pad // 6) if banded else 0
@@ -441,20 +524,29 @@ def device_window_consensus(
         clens_dev = jnp.asarray(cons_lens)
         cruns_dev = jnp.asarray(cons_runs)
 
-        bv_dev, iv_dev, cv_dev = fused_votes_scan_kernel(
-            cons_dev,
-            clens_dev,
-            cruns_dev,
-            frags_dev,
-            qlens_dev,
-            wts_dev,
-            winof_dev,
-            t_pad,
-            q_pad,
-            steps,
-            NWIN,
-            band,
-        )
+        if mesh is not None:
+            step = _votes_step_sharded(
+                mesh, t_pad, q_pad, steps, NWIN, band
+            )
+            bv_dev, iv_dev, cv_dev = step(
+                cons_dev, clens_dev, cruns_dev,
+                frags_dev, qlens_dev, wts_dev, winof_dev,
+            )
+        else:
+            bv_dev, iv_dev, cv_dev = fused_votes_scan_kernel(
+                cons_dev,
+                clens_dev,
+                cruns_dev,
+                frags_dev,
+                qlens_dev,
+                wts_dev,
+                winof_dev,
+                t_pad,
+                q_pad,
+                steps,
+                NWIN,
+                band,
+            )
         base_votes = np.asarray(bv_dev).astype(np.int64)
         ins_votes = np.asarray(iv_dev).astype(np.int64)
         cover = np.asarray(cv_dev).astype(np.int64)

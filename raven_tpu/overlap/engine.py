@@ -175,7 +175,23 @@ class MinimizerIndex:
             return False
         if ids.size == 0 or 2 * self.k > 30:
             return False
-        if os.environ.get("RAVEN_TPU_SHARDED_MAP") == "1":
+        sharded_env = os.environ.get("RAVEN_TPU_SHARDED_MAP", "auto")
+        use_sharded = sharded_env == "1"
+        if sharded_env == "auto":
+            # auto-enable the multi-chip path whenever more than one
+            # accelerator device is visible (CPU meshes stay opt-in: the
+            # test suite forces 8 virtual CPU devices and must default to
+            # the single-device oracles)
+            try:
+                import jax
+
+                use_sharded = (
+                    jax.default_backend() != "cpu"
+                    and len(jax.devices()) > 1
+                )
+            except Exception:
+                use_sharded = False
+        if use_sharded:
             # multi-chip path: hash-range-sharded index over the mesh
             # (parallel.sharded_index; same contract as DeviceIndex)
             try:

@@ -385,6 +385,111 @@ if HAS_JAX:
         )
 
     @functools.lru_cache(maxsize=None)
+    def _chain_prepare_step(mesh, S2: int, n_buckets: int):
+        """Sharded chain stage A: re-shard the per-shard join matches by
+        query read (dest = q_id mod n — every anchor of a (q, t) pair
+        lands on one shard) with a single all-to-all, then run the device
+        chain's group formation (ops/chain_device._prepare_core) locally
+        per shard.  The matches never touch the host.
+
+        In: per-shard match columns [capm] (q_id < 0 = padding).
+        Out: per-shard sorted anchors + bucket-sorted group descriptors
+        (device-resident, P(axis)), per-shard bucket counts [NB], global
+        max group size, exchange-overflow flag.
+        """
+        from raven_tpu.ops.chain_device import _prepare_core
+
+        n = mesh.devices.size
+        axis = _mesh_axis(mesh)
+
+        def step(q_id, q_pos, t_id, t_pos, same):
+            m = q_id.shape[0]
+            valid = q_id >= 0
+            dest = jnp.where(valid, q_id % n, jnp.int32(n))
+            d_s, q_s, qp_s, t_s, tp_s, sm_s = jax.lax.sort(
+                (dest, q_id, q_pos, t_id, t_pos, same), num_keys=2
+            )
+            starts = jnp.stack(
+                [
+                    (d_s < d).sum(dtype=jnp.int32)
+                    for d in range(n + 1)
+                ]
+            )
+
+            def take(d):
+                s = starts[d]
+                e = starts[d + 1]
+                idx = s + jnp.arange(S2, dtype=jnp.int32)
+                ok = idx < e
+                idx = jnp.clip(idx, 0, m - 1)
+                return (
+                    jnp.where(ok, q_s[idx], jnp.int32(-1)),
+                    jnp.where(ok, qp_s[idx], 0),
+                    jnp.where(ok, t_s[idx], 0),
+                    jnp.where(ok, tp_s[idx], 0),
+                    jnp.where(ok, sm_s[idx], 0),
+                )
+
+            outs = [take(d) for d in range(n)]
+            send = [
+                jnp.stack([o[c] for o in outs]) for c in range(5)
+            ]
+            recv = [
+                jax.lax.all_to_all(
+                    s, axis, split_axis=0, concat_axis=0, tiled=False
+                ).reshape(-1)
+                for s in send
+            ]
+            ovf = ((starts[1 : n + 1] - starts[:n]) > S2).any()
+            ovf = jax.lax.pmax(ovf.astype(jnp.int32), axis)
+
+            anchors, descs, npb, max_size = _prepare_core(
+                recv[0], recv[1], recv[2], recv[3], recv[4], n_buckets
+            )
+            max_size = jax.lax.pmax(max_size, axis)
+            return (*anchors, *descs, npb, max_size, ovf)
+
+        return jax.jit(
+            _shard_map(
+                step,
+                mesh,
+                (P(axis),) * 5,
+                (P(axis),) * 8 + (P(axis), P(), P()),
+            )
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def _chain_lis_step(mesh, bucket_ns: tuple, kmer: int):
+        """Sharded chain stage B: every shard runs the batched patience-LIS
+        + emission dispatch (ops/chain_device._chain_lis) over its own
+        groups; bucket shapes are the static per-bucket maxima across
+        shards (per-shard true counts are passed dynamically and masked
+        inside the kernel)."""
+        from raven_tpu.ops.chain_device import _chain_lis
+
+        axis = _mesh_axis(mesh)
+
+        def step(qs, ts, sm, qp, tp, dstart, dsize, dgid, offs, nbs):
+            stacked, count = _chain_lis(
+                (qs, ts, sm, qp, tp),
+                (dstart, dsize, dgid),
+                offs.reshape(-1),
+                nbs.reshape(-1),
+                bucket_ns,
+                kmer,
+            )
+            return stacked, count.reshape(1)
+
+        return jax.jit(
+            _shard_map(
+                step,
+                mesh,
+                (P(axis),) * 8 + (P(axis, None), P(axis, None)),
+                (P(None, axis), P(axis)),
+            )
+        )
+
+    @functools.lru_cache(maxsize=None)
     def _occ_search_step(mesh):
         """Exact Filter threshold when the run-length quantile lands past
         the clipped histogram tail (count >= _HBINS-1): the same binary
@@ -713,9 +818,12 @@ class ShardedIndex:
         chain_k: int | None = None,
     ):
         """Sharded self-join; same contract as DeviceIndex.distance_join
-        (None on capacity overflow -> caller falls back).  chain_k is
-        accepted for signature parity but chaining stays on the host here
-        (per-shard matches are gathered before chaining)."""
+        (None on capacity overflow -> caller falls back).  With chain_k
+        set, chaining runs on-device per shard after a match re-shard by
+        query read (one all-to-all) and the return value is the
+        {read_id: overlaps} dict — match columns never leave the mesh.
+        Falls back to returning the match tuple (host chain) when a group
+        exceeds the top LIS bucket or the exchange overflows."""
         if occurrence > SH_MAX_D + 1:
             _note_fallback(
                 f"occurrence {occurrence} > SH_MAX_D+1; joining on host"
@@ -746,38 +854,61 @@ class ShardedIndex:
         occ = jax.device_put(
             jnp.asarray(occurrence, jnp.int32), NamedSharding(self.mesh, P())
         )
-        step = _join_step(
-            self.mesh, maxd, capd, capm, capf, bool(need_flags)
-        )
-        (
-            q_id,
-            q_pos,
-            t_id,
-            t_pos,
-            same,
-            n_matches,
-            ovf,
-            f_rid,
-            f_pos,
-            n_filt,
-            f_ovf,
-        ) = step(self._key, self._rid, self._packed, batch_tbl, occ)
-        if int(ovf) or int(f_ovf):
-            _note_fallback(
-                "per-device match/filter capacity overflow "
-                f"(match_ovf={int(ovf)}, filt_ovf={int(f_ovf)}); "
-                "joining on host"
+        # capacity retry ladder: skewed shards (one hot hash range)
+        # overflow the average-sized buffers; widen and re-dispatch
+        # instead of abandoning the whole batch to the host (each cap is
+        # its own cached compile, so steady-state reruns are free)
+        for attempt in range(4):
+            step = _join_step(
+                self.mesh, maxd, capd, capm, capf, bool(need_flags)
             )
-            return None
-        q_id = np.asarray(q_id)
-        valid = q_id >= 0
-        res = (
-            q_id[valid].astype(np.int64),
-            np.asarray(q_pos)[valid].astype(np.int64),
-            np.asarray(t_id)[valid].astype(np.int64),
-            np.asarray(t_pos)[valid].astype(np.int64),
-            np.asarray(same)[valid].astype(np.uint8),
-        )
+            (
+                q_id,
+                q_pos,
+                t_id,
+                t_pos,
+                same,
+                n_matches,
+                ovf,
+                f_rid,
+                f_pos,
+                n_filt,
+                f_ovf,
+            ) = step(self._key, self._rid, self._packed, batch_tbl, occ)
+            if not (int(ovf) or int(f_ovf)):
+                break
+            if attempt == 3:
+                _note_fallback(
+                    "per-device match/filter capacity overflow after "
+                    f"{attempt + 1} widenings (match_ovf={int(ovf)}, "
+                    f"filt_ovf={int(f_ovf)}); joining on host"
+                )
+                return None
+            print(
+                "[raven_tpu::ShardedIndex] per-device capacity overflow "
+                f"(match={int(ovf)}, filt={int(f_ovf)}); retrying with "
+                "2x buffers",
+                file=__import__("sys").stderr,
+            )
+            capd *= 2
+            capm *= 2
+            capf *= 2
+
+        res = None
+        if chain_k is not None:
+            res = self._chain_on_device(
+                q_id, q_pos, t_id, t_pos, same, int(chain_k)
+            )
+        if res is None:
+            q_id = np.asarray(q_id)
+            valid = q_id >= 0
+            res = (
+                q_id[valid].astype(np.int64),
+                np.asarray(q_pos)[valid].astype(np.int64),
+                np.asarray(t_id)[valid].astype(np.int64),
+                np.asarray(t_pos)[valid].astype(np.int64),
+                np.asarray(same)[valid].astype(np.uint8),
+            )
         if filtered_out is not None:
             f_rid = np.asarray(f_rid)
             fv = f_rid >= 0
@@ -786,6 +917,96 @@ class ShardedIndex:
             ):
                 filtered_out.setdefault(int(r), []).append(int(p))
         return res
+
+    # ------------------------------------------------------------ chaining
+    def _chain_on_device(self, q_id, q_pos, t_id, t_pos, same, k: int):
+        """Per-shard device chaining of the sharded join's match columns
+        (SURVEY §2.4: the chaining inside ram's Map, run under the mesh).
+        Returns {read_id: overlaps} or None (host-chain fallback)."""
+        from raven_tpu.ops.chain_device import (
+            BUCKETS,
+            _assemble_overlaps,
+            chain_oversize_groups_host,
+        )
+
+        n = self.mesh.devices.size
+        capm = q_id.shape[0] // n
+        NB = len(BUCKETS)
+        S2 = _pow2_at_least(max(8192, (4 * capm) // max(n, 1)), 8192)
+        step = _chain_prepare_step(self.mesh, S2, NB)
+        (
+            qs, ts, sm, qp, tp,
+            dstart, dsize, dgid,
+            npb, max_size, ovf,
+        ) = step(q_id, q_pos, t_id, t_pos, same.astype(jnp.int32))
+        if int(ovf):
+            _note_fallback(
+                "chain exchange slot overflow (skewed query "
+                "distribution); chaining on host"
+            )
+            return None
+
+        # npb rows: per-shard counts for NB buckets + the oversize
+        # pseudo-bucket (host-chained per group; rest stays on device)
+        npb = np.asarray(npb).reshape(n, NB + 1).astype(np.int32)
+        if int(npb.sum()) == 0:
+            return {}
+        offs = np.zeros((n, NB), dtype=np.int32)
+        np.cumsum(npb[:, : NB - 1], axis=1, out=offs[:, 1:])
+        bucket_ns = tuple(
+            0
+            if int(npb[:, b].max()) == 0
+            else _pow2_at_least(int(npb[:, b].max()), 256)
+            for b in range(NB)
+        )
+        M2 = int(np.asarray(dstart.shape[0])) // n  # per-shard length
+
+        # oversize groups: host-chain per group, merge by gid below
+        host_parts: dict[int, tuple] = {}
+        anchors_all = (qs, ts, sm, qp, tp)
+        descs_all = (dstart, dsize, dgid)
+        for d in range(n):
+            n_over = int(npb[d, NB])
+            if n_over == 0:
+                continue
+            off_over = d * M2 + int(npb[d, :NB].sum())
+            host_parts[d] = chain_oversize_groups_host(
+                anchors_all, descs_all, off_over, n_over, int(k),
+                base=d * M2,
+            )
+
+        out: dict[int, np.ndarray] = {}
+        if any(bucket_ns):
+            step2 = _chain_lis_step(self.mesh, bucket_ns, int(k))
+            shard2 = NamedSharding(
+                self.mesh, P(_mesh_axis(self.mesh), None)
+            )
+            stacked, counts = step2(
+                qs, ts, sm, qp, tp, dstart, dsize, dgid,
+                jax.device_put(jnp.asarray(offs), shard2),
+                jax.device_put(
+                    jnp.asarray(npb[:, :NB].copy()), shard2
+                ),
+            )
+            stacked = np.asarray(stacked)  # [9, n * cap]
+            counts = np.asarray(counts)  # [n]
+            cap = stacked.shape[1] // n
+        else:
+            stacked = np.zeros((9, 0), np.int64)
+            counts = np.zeros(n, np.int64)
+            cap = 0
+
+        empty9 = tuple(np.zeros(0, np.int64) for _ in range(9))
+        for d in range(n):
+            c = int(counts[d])
+            hr, hg = host_parts.get(d, (None, None))
+            if c == 0 and (hr is None or not hr.size):
+                continue
+            cols = (
+                stacked[:, d * cap : d * cap + c] if c else empty9
+            )
+            out.update(_assemble_overlaps(cols, c, hr, hg))
+        return out
 
     # ------------------------------------------------------------- host view
     def to_host(self):

@@ -433,6 +433,25 @@ class Polisher:
                 kwargs = {}
                 if dc is not None and dc.poa_batches > 0:
                     kwargs["chunk"] = 256 * dc.poa_batches
+                # multi-chip: shard fragment chunks over the mesh
+                # (BASELINE polishing row '1 chip / 1 host / N hosts');
+                # auto when >1 accelerator device, like the overlap stage
+                sp = os.environ.get("RAVEN_TPU_SHARDED_POLISH", "auto")
+                want_mesh = sp == "1"
+                if sp == "auto":
+                    try:
+                        import jax
+
+                        want_mesh = (
+                            jax.default_backend() != "cpu"
+                            and len(jax.devices()) > 1
+                        )
+                    except Exception:
+                        want_mesh = False
+                if want_mesh:
+                    from raven_tpu.parallel.mesh import make_mesh
+
+                    kwargs["mesh"] = make_mesh()
                 if dc is not None and dc.banded_alignment:
                     kwargs["banded"] = True
                 if os.environ.get("RAVEN_TPU_VERBOSE"):

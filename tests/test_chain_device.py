@@ -123,18 +123,26 @@ def test_chain_device_gap_split():
     _assert_same(dev, host)
 
 
-def test_chain_device_monster_group_declines():
-    """A group larger than the top size bucket returns None (the caller
-    falls back to host chaining)."""
+def test_chain_device_monster_group_host_merge():
+    """A group larger than the top size bucket is chained per-group on
+    the host and merged back in emission order — the batch no longer
+    falls back wholesale (round-2 verdict item).  Mixed input: one
+    monster group plus a normal group on another read."""
     n = chain_device.BUCKETS[-1] + 8
-    m = (
-        np.zeros(n, np.int64),
-        np.arange(n, dtype=np.int64) * 20,
-        np.ones(n, np.int64),
-        np.arange(n, dtype=np.int64) * 20 + 5000,
-        np.ones(n, np.int64),
+    q_id = [0] * n + [3] * 8
+    q_pos = [a * 20 for a in range(n)] + [a * 40 for a in range(8)]
+    t_id = [1] * n + [4] * 8
+    t_pos = [a * 20 + 5000 for a in range(n)] + [
+        a * 40 + 900 for a in range(8)
+    ]
+    same = [1] * (n + 8)
+    m = tuple(
+        np.array(c, np.int64) for c in (q_id, q_pos, t_id, t_pos, same)
     )
-    assert _device_chain(*m, 15) is None
+    dev = _device_chain(*m, 15)
+    host = _host_chain(*m, 15)
+    assert dev is not None
+    _assert_same(dev, host)
 
 
 def test_engine_device_chain_engages_and_matches(monkeypatch):

@@ -167,3 +167,41 @@ def test_banded_consensus_matches_full(rng):
     )
     for a, b in zip(full, banded):
         assert np.array_equal(a, b)
+
+
+def test_sharded_consensus_matches_single_device():
+    """The mesh-sharded votes step must produce bit-identical consensus
+    to the single-device path (vote tables psum; integer adds commute)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from raven_tpu.ops.consensus_device import device_window_consensus
+    from raven_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(5)
+    windows = []
+    for _ in range(6):
+        truth = rng.integers(0, 4, 300).astype(np.uint8)
+
+        def mut():
+            keep = rng.random(truth.size) >= 0.05
+            seg = truth[keep]
+            subs = rng.random(seg.size) < 0.04
+            return np.where(
+                subs, (seg + 1) % 4, seg
+            ).astype(np.uint8)
+
+        frags = [mut() for _ in range(12)]
+        wts = [np.full(f.size, 9, np.uint8) for f in frags]
+        windows.append((mut(), frags, wts))
+
+    single = device_window_consensus(
+        windows, iterations=2, t_pad=384, q_pad=384, chunk=16
+    )
+    mesh = make_mesh(8)
+    sharded = device_window_consensus(
+        windows, iterations=2, t_pad=384, q_pad=384, chunk=16, mesh=mesh
+    )
+    for a, b in zip(single, sharded):
+        assert np.array_equal(a, b)

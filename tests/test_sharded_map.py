@@ -230,3 +230,41 @@ def test_sharded_filter_exact_in_clipped_tail(mesh8):
         got = sh.occurrence_for(f)
         assert got == expected, (f, got, expected)
         assert got < np.iinfo(np.int64).max
+
+
+def test_sharded_skew_stress_stays_on_device(mesh8, monkeypatch, capfd):
+    """Adversarial hash skew: a hot repeated motif concentrates index
+    entries into long runs (and whatever hash ranges they map to).  The
+    sharded path must neither overflow nor silently fall back to host —
+    and must still match the host path byte-for-byte."""
+    rng = np.random.default_rng(99)
+    genome = random_genome(rng, 14000)
+    motif = genome[1000:1025]
+    # plant 40 extra copies of a SHORT (25 bp, 11 k-mers) motif: its runs
+    # are ~40x the background coverage — extreme per-shard load skew and
+    # too-frequent filtered-path stress — while contributing fewer runs
+    # than the 0.1% Filter tail, so the occurrence threshold stays on
+    # background runs inside the device join's 32-shift envelope
+    g = list(genome)
+    for i in range(40):
+        at = 2000 + i * 290
+        g[at : at + len(motif)] = motif
+    genome = "".join(g)
+    reads, _ = sample_reads(rng, genome, 90, 2200, error=0.03)
+    rs = ReadSet.from_sequences(reads)
+
+    monkeypatch.setenv("RAVEN_TPU_DEVICE_MAP", "0")
+    _, h_ovl, h_filtered = _host_engine(rs, True)
+    monkeypatch.delenv("RAVEN_TPU_DEVICE_MAP")
+    capfd.readouterr()  # drain
+
+    s_idx, s_ovl, s_filtered = _sharded_engine(rs, True, monkeypatch)
+    err = capfd.readouterr().err
+    assert "host fallback" not in err, f"sharded path degraded: {err}"
+
+    assert set(s_ovl) == set(h_ovl)
+    for rid in h_ovl:
+        assert np.array_equal(h_ovl[rid], s_ovl[rid]), f"read {rid}"
+    assert {k: sorted(v) for k, v in h_filtered.items()} == {
+        k: sorted(v) for k, v in s_filtered.items()
+    }
