@@ -152,8 +152,66 @@ if HAS_JAX:
         )
         return keys.reshape(-1), rids_o.reshape(-1), packeds.reshape(-1), counts
 
+    @functools.partial(
+        jax.jit,
+        static_argnames=("n_reads", "k", "w", "use_pallas", "cap"),
+    )
+    def _chunk_sketch_compact_range(
+        codes, eff, rids, base, clo, chi, lo, hi, n_reads, k, w,
+        use_pallas, cap
+    ):
+        """_chunk_sketch_compact restricted to hash range [lo, hi): the
+        hash-range-partitioned build re-runs the sketch once per partition
+        (device FLOPs are cheap; the packed codes upload once and stay
+        resident) and compacts only in-range entries, so each partition's
+        index fits the single-index envelope.  Also returns per-read
+        in-range entry counts [n_reads] (the flags pass needs each read's
+        global hash-ascending rank = sum of counts in lower partitions +
+        local rank)."""
+
+        def one_chunk(_, ch):
+            cp, ef, ri, ba, cl, ch_hi = ch
+            u = cp.astype(jnp.int32)
+            co = jnp.stack(
+                [(u >> (2 * b)) & 3 for b in range(4)], axis=2
+            ).reshape(u.shape[0], u.shape[1] * 4)
+            key, ids, pos, sb = sketch_segments_kernel(
+                co, ef, ri, ba, cl, ch_hi, k, w, use_pallas=use_pallas
+            )
+            valid = (key != UINT32_INF) & (key >= lo) & (key < hi)
+            key = jnp.where(valid, key, UINT32_INF)
+            count = valid.sum(dtype=jnp.int32)
+            rid = jnp.where(valid, ids, _INVALID_RID)
+            packed = jnp.where(valid, pos | (sb << _STRAND_BIT), 0).astype(
+                jnp.int32
+            )
+            rid_flat = jnp.where(valid, ids, 0).reshape(-1)
+            per_read = (
+                jnp.zeros((n_reads,), jnp.int32)
+                .at[jnp.clip(rid_flat, 0, n_reads - 1)]
+                .add(jnp.where(valid.reshape(-1), 1, 0))
+            )
+            key_s, rid_s, packed_s = jax.lax.sort(
+                (key.reshape(-1), rid.reshape(-1), packed.reshape(-1)),
+                num_keys=1,
+            )
+            return None, (
+                key_s[:cap], rid_s[:cap], packed_s[:cap], count, per_read
+            )
+
+        _, (keys, rids_o, packeds, counts, per_read) = jax.lax.scan(
+            one_chunk, None, (codes, eff, rids, base, clo, chi)
+        )
+        return (
+            keys.reshape(-1),
+            rids_o.reshape(-1),
+            packeds.reshape(-1),
+            counts,
+            per_read.sum(axis=0),
+        )
+
     @jax.jit
-    def _flags_kernel(key, rid, packed, budget_tbl):
+    def _flags_kernel(key, rid, packed, budget_tbl, rank_off_tbl):
         """Minhash-subset membership per entry (minimizer.py:102-109).
 
         Sorts by (rid, key, pos); rank r of an entry among its read's
@@ -175,8 +233,12 @@ if HAS_JAX:
             ]
         )
         start = _blocked_cummax(jnp.where(newread, idx, jnp.int32(-1)))
-        rank = idx - start
         rid_clamped = jnp.clip(rid_sorted, 0, budget_tbl.shape[0] - 1)
+        # rank_off: each read's entry count in LOWER hash partitions
+        # (zeros for the single-partition build) — partition ranges are
+        # hash-disjoint and ascending, so global hash-ascending rank =
+        # offset + local rank
+        rank = idx - start + rank_off_tbl[rid_clamped]
         budget = budget_tbl[rid_clamped]
         flag = (rank < budget) & (rid_sorted != _INVALID_RID)
         packed_flagged = jnp.where(
@@ -201,11 +263,13 @@ if HAS_JAX:
     @functools.partial(
         jax.jit, static_argnames=("need_flags", "drop_unflagged")
     )
-    def _finalize_index(key, rid, packed, budget_tbl, need_flags,
-                        drop_unflagged):
+    def _finalize_index(key, rid, packed, budget_tbl, rank_off_tbl,
+                        need_flags, drop_unflagged):
         """Flags + final key sort in one dispatch."""
         if need_flags:
-            key, rid, packed = _flags_kernel(key, rid, packed, budget_tbl)
+            key, rid, packed = _flags_kernel(
+                key, rid, packed, budget_tbl, rank_off_tbl
+            )
         return _index_sort(key, rid, packed, drop_unflagged)
 
     @jax.jit
@@ -230,6 +294,29 @@ if HAS_JAX:
     @jax.jit
     def _num_runs_kernel(key, newrun):
         return (newrun & (key != UINT32_INF)).sum(dtype=jnp.int32)
+
+    _RHBINS = 4096  # run-length histogram bins (partitioned Filter)
+
+    @jax.jit
+    def _run_hist_kernel(key, counts, newrun):
+        """Clipped run-length histogram [RHBINS] — the partitioned
+        build's Filter quantile sums these across partitions (runs never
+        cross hash-partition boundaries)."""
+        isrun = newrun & (key != UINT32_INF)
+        return (
+            jnp.zeros(_RHBINS, jnp.int32)
+            .at[jnp.where(isrun, jnp.clip(counts, 0, _RHBINS - 1), 0)]
+            .add(jnp.where(isrun, 1, 0))
+            .at[0]
+            .set(0)
+        )
+
+    @jax.jit
+    def _le_count_kernel(key, counts, newrun, t):
+        """#distinct runs with length <= t (partitioned exact-quantile
+        fallback when the histogram tail clips)."""
+        isrun = newrun & (key != UINT32_INF)
+        return jnp.where(isrun & (counts <= t), jnp.int32(1), 0).sum()
 
     @jax.jit
     def _occurrence_search(key, counts, newrun, target):
@@ -468,6 +555,12 @@ if HAS_JAX:
         (codes_s,) = jax.lax.sort((codes,), num_keys=1)
         return codes_s[:capf], mask.sum(dtype=jnp.int32)
 
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def _take_prefix(a, n: int):
+        """Static prefix slice (pow2-bucketed by the caller so compiled
+        variants stay bounded)."""
+        return jax.lax.slice_in_dim(a, 0, n)
+
     @jax.jit
     def _entry_gather_slab(codes, rid, packed):
         i = jnp.where(
@@ -568,7 +661,8 @@ class DeviceIndex:
             np.asarray(readset.lengths, dtype=np.int64) // k
         ).astype(np.int32)
         key, rid, packed, n_valid = _finalize_index(
-            key, rid, packed, jnp.asarray(budget), bool(need_flags),
+            key, rid, packed, jnp.asarray(budget),
+            jnp.zeros(budget.shape[0], jnp.int32), bool(need_flags),
             bool(minhash),
         )
         return cls(key, rid, packed, int(n_valid), need_flags, k, w)
@@ -600,10 +694,16 @@ class DeviceIndex:
         need_flags: bool,
         filtered_out: dict | None = None,
         chain_k: int | None = None,
+        device_cols: bool = False,
     ):
         """Self-join matches (q_id, q_pos, t_id, t_pos, same) as numpy
         arrays, exactly the host selfjoin.distance_join contract; None on
         any static-capacity overflow (caller falls back to the host path).
+
+        With device_cols=True the reconstructed match columns stay
+        device-resident and the return value is ((cols tuple | None),
+        total) — the partitioned index concatenates per-partition columns
+        before chaining.
 
         With chain_k set, chaining also runs on device (ops/chain_device)
         and the return value is the {read_id: overlaps} dict instead — the
@@ -720,11 +820,12 @@ class DeviceIndex:
                     len(BUCKETS),
                 )
                 res = chain_from_prepared(prepared, chain_k)
-                # None -> oversized group, transfer + host chain below
             else:
                 codes = _join_flatten_concat(code_parts, capj)
                 rows = codes[: n_slabs * L].reshape(n_slabs, L)
                 dev_cols = _join_reconstruct_scan(rows, jrid, jpacked)
+        if device_cols:
+            res = (dev_cols, total)
         if res is None:
             if total == 0:
                 res = (
@@ -772,6 +873,23 @@ class DeviceIndex:
                     filtered_out.setdefault(int(r), []).append(int(p))
         return res
 
+    # ------------------------------------------------------------ run stats
+    def run_hist(self) -> np.ndarray:
+        """Clipped run-length histogram (partitioned Filter quantile)."""
+        self._ensure_counts()
+        return np.asarray(
+            _run_hist_kernel(self._key, self._counts, self._newrun)
+        ).astype(np.int64)
+
+    def le_count(self, t: int) -> int:
+        """#distinct runs with length <= t (partitioned exact quantile)."""
+        self._ensure_counts()
+        return int(
+            _le_count_kernel(
+                self._key, self._counts, self._newrun, jnp.int32(t)
+            )
+        )
+
     # ------------------------------------------------------------- host view
     def to_host(self):
         """Materialize host columns (hash-sorted) for generic lookup
@@ -784,6 +902,268 @@ class DeviceIndex:
         strand = ((packed >> _STRAND_BIT) & 1).astype(np.uint8)
         flags = (
             ((packed >> _FLAG_BIT) & 1).astype(bool)
+            if self.has_flags
+            else None
+        )
+        return key, rid, pos, strand, flags
+
+
+class PartitionedIndex:
+    """Hash-range-partitioned device index: H DeviceIndex parts, each
+    covering a disjoint range of the hash space (runs never cross hash
+    boundaries, so Filter and the self-join decompose exactly).
+
+    Raises the device-resident envelope past the single-sort 2^28-entry
+    cap (the gate to fly/human-scale index batches, reference
+    construct.cc:35 4 GiB batching): the packed read segments upload once
+    and stay resident while the sketch re-runs per partition with a fused
+    hash-range filter — device FLOPs are cheap, H2D through the remote
+    tunnel is not.  Minhash flags need each read's GLOBAL hash-ascending
+    rank; partition ranges ascend, so rank = (entries of the read in
+    lower partitions) + local rank — the per-partition per-read counts
+    accumulate into the next partition's rank-offset table.
+
+    Same duck-typed contract as DeviceIndex (build/occurrence_for/
+    distance_join/to_host/n_entries/has_flags).
+    """
+
+    # target per-partition fill: 75% of the 2^28 single-sort cap
+    PART_TARGET = 3 << 26
+    # resident ceiling: key+rid+packed at 12 B/entry must leave join
+    # workspace headroom in 16 GB HBM
+    MAX_TOTAL_ENTRIES = 3 << 28
+
+    def __init__(self, parts, k, w, has_flags):
+        self.parts = parts
+        self.n_entries = sum(p.n_entries for p in parts)
+        self.has_flags = has_flags
+        self.k = k
+        self.w = w
+
+    @classmethod
+    def build(cls, readset, ids, k, w, minhash, with_flags, n_parts):
+        if not HAS_JAX or 2 * k > 30 or n_parts < 2:
+            return None
+        ids = np.asarray(ids, dtype=np.int64)
+        use_pallas = jax.default_backend() == "tpu"
+
+        codes, eff, rids, base, clo, chi = segment_reads(
+            readset, ids, k, w, width=SEG_WIDTH
+        )
+        S = codes.shape[0]
+        if S == 0:
+            return None
+        chunk = _pow2_at_least(S, 256, 8192)
+        n_chunks = (S + chunk - 1) // chunk
+        cap_full = max(256, int(chunk * SEG_WIDTH * 0.45) // 256 * 256)
+        # in-range density is ~1/n_parts of the full sketch; 2.5x headroom
+        cap = max(
+            256,
+            int(chunk * SEG_WIDTH * 0.45 * 2.5 / n_parts) // 256 * 256,
+        )
+        cap = min(cap, cap_full)
+
+        c4 = codes.reshape(S, codes.shape[1] // 4, 4)
+        codes = (
+            c4[..., 0]
+            | (c4[..., 1] << 2)
+            | (c4[..., 2] << 4)
+            | (c4[..., 3] << 6)
+        ).astype(np.uint8)
+        S_pad = n_chunks * chunk
+        args = []
+        for a in (codes, eff, rids, base, clo, chi):
+            if S_pad != S:
+                a = np.concatenate(
+                    [a, np.zeros((S_pad - S,) + a.shape[1:], dtype=a.dtype)]
+                )
+            args.append(
+                jnp.asarray(a.reshape((n_chunks, chunk) + a.shape[1:]))
+            )
+
+        n_reads = int(readset.lengths.size)
+        budget = (
+            np.asarray(readset.lengths, dtype=np.int64) // k
+        ).astype(np.int32)
+        budget_dev = jnp.asarray(budget)
+        need_flags = bool(minhash or with_flags)
+
+        HASH_SPACE = 1 << 30  # sketch hashes are < 2^30 (ops/sketch.py)
+        bounds = [
+            (HASH_SPACE * h) // n_parts for h in range(n_parts + 1)
+        ]
+        bounds[-1] = 1 << 31  # inclusive top (hashes never reach it)
+
+        rank_off = np.zeros(max(n_reads, 1), dtype=np.int64)
+        parts: list[DeviceIndex] = []
+        for h in range(n_parts):
+            key, rid, packed, counts_dev, per_read = (
+                _chunk_sketch_compact_range(
+                    *args,
+                    jnp.uint32(bounds[h]),
+                    jnp.uint32(bounds[h + 1]),
+                    max(n_reads, 1),
+                    k,
+                    w,
+                    use_pallas,
+                    cap,
+                )
+            )
+            counts = np.asarray(counts_dev)
+            if (counts > cap).any():
+                return None  # compaction would clip real entries
+            total = int(counts.sum())
+            N = _pow2_at_least(max(total, 1), 1 << 12, 1 << 28)
+            if total > N:
+                return None
+            pad_n = N - n_chunks * cap
+            if pad_n > 0:
+                key = jnp.concatenate(
+                    [key, jnp.full((pad_n,), UINT32_INF, jnp.uint32)]
+                )
+                rid = jnp.concatenate(
+                    [rid, jnp.full((pad_n,), _INVALID_RID, jnp.int32)]
+                )
+                packed = jnp.concatenate(
+                    [packed, jnp.zeros((pad_n,), jnp.int32)]
+                )
+            if pad_n < 0:
+                key, rid, packed = jax.lax.sort(
+                    (key, rid, packed), num_keys=1
+                )
+                key, rid, packed = key[:N], rid[:N], packed[:N]
+
+            key, rid, packed, n_valid = _finalize_index(
+                key,
+                rid,
+                packed,
+                budget_dev,
+                jnp.asarray(
+                    np.minimum(rank_off, 2**30).astype(np.int32)
+                ),
+                need_flags,
+                bool(minhash),
+            )
+            rank_off += np.asarray(per_read).astype(np.int64)
+            parts.append(
+                DeviceIndex(
+                    key, rid, packed, int(n_valid), need_flags, k, w
+                )
+            )
+        return cls(parts, k, w, need_flags)
+
+    # ---------------------------------------------------------------- filter
+    def occurrence_for(self, frequency: float) -> int:
+        if frequency <= 0 or self.n_entries == 0:
+            return np.iinfo(np.int64).max
+        hist = np.zeros(_RHBINS, dtype=np.int64)
+        for p in self.parts:
+            hist += p.run_hist()
+        n_runs = int(hist.sum())
+        if n_runs == 0:
+            return np.iinfo(np.int64).max
+        target = min(int((1.0 - frequency) * n_runs), n_runs - 1)
+        cum = np.cumsum(hist)
+        occ = int(np.searchsorted(cum, target + 1))
+        if occ >= _RHBINS - 1:
+            # clipped tail: exact global binary search over the threshold
+            lo, hi = 1, 1 << 27
+            while lo < hi:
+                mid = (lo + hi) // 2
+                le = sum(p.le_count(mid) for p in self.parts)
+                if le >= target + 1:
+                    hi = mid
+                else:
+                    lo = mid + 1
+            occ = lo
+        return occ
+
+    # ------------------------------------------------------------------ join
+    def distance_join(
+        self,
+        occurrence: int,
+        batch: np.ndarray,
+        need_flags: bool,
+        filtered_out: dict | None = None,
+        chain_k: int | None = None,
+    ):
+        """Per-partition self-joins; match columns concatenate on device
+        (runs never cross partitions, so the union is exact) and chaining
+        runs once over the union.  Contract identical to
+        DeviceIndex.distance_join."""
+        cols_parts = []
+        total = 0
+        for p in self.parts:
+            r = p.distance_join(
+                occurrence,
+                batch,
+                need_flags,
+                filtered_out=filtered_out,
+                chain_k=None,
+                device_cols=True,
+            )
+            if r is None:
+                return None  # capacity overflow: host fallback
+            cols, t = r
+            if t > 0 and cols is not None:
+                keep = _pow2_at_least(t, 1 << 12, 1 << 30)
+                keep = min(keep, int(cols[0].shape[0]))
+                cols_parts.append(
+                    tuple(_take_prefix(c, keep) for c in cols)
+                )
+                total += t
+
+        if total == 0:
+            if chain_k is not None:
+                return {}
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.uint8),
+            )
+        cat = [
+            jnp.concatenate([cp[c] for cp in cols_parts])
+            for c in range(5)
+        ]
+        if chain_k is not None:
+            from raven_tpu.ops.chain_device import (
+                BUCKETS,
+                _chain_prepare,
+                chain_from_prepared,
+            )
+
+            prepared = _chain_prepare(
+                cat[0].astype(jnp.int32),
+                cat[1].astype(jnp.int32),
+                cat[2].astype(jnp.int32),
+                cat[3].astype(jnp.int32),
+                cat[4].astype(jnp.int32),
+                len(BUCKETS),
+            )
+            return chain_from_prepared(prepared, chain_k)
+        q_id = np.asarray(cat[0])
+        valid = q_id >= 0
+        return (
+            q_id[valid].astype(np.int64),
+            np.asarray(cat[1])[valid].astype(np.int64),
+            np.asarray(cat[2])[valid].astype(np.int64),
+            np.asarray(cat[3])[valid].astype(np.int64),
+            np.asarray(cat[4])[valid].astype(np.uint8),
+        )
+
+    # ------------------------------------------------------------- host view
+    def to_host(self):
+        """Concatenate per-partition host views (ranges ascend, so the
+        concatenation stays key-sorted)."""
+        views = [p.to_host() for p in self.parts]
+        key = np.concatenate([v[0] for v in views])
+        rid = np.concatenate([v[1] for v in views])
+        pos = np.concatenate([v[2] for v in views])
+        strand = np.concatenate([v[3] for v in views])
+        flags = (
+            np.concatenate([v[4] for v in views])
             if self.has_flags
             else None
         )

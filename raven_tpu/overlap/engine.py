@@ -212,21 +212,35 @@ class MinimizerIndex:
         total = int(readset.lengths[np.asarray(ids, np.int64)].sum())
         if mode != "1" and total < self.DEVICE_MIN_BASES:
             return False
-        # entry estimate ~2/(w+1) per base; beyond the largest on-device
-        # index bucket (2^28 entries) the build cannot succeed — skip the
-        # (host-side) segmentation cost and go straight to the host path
-        if total * 2 // (self.w + 1) > (1 << 28):
-            return False
+        # entry estimate ~2/(w+1) per base; beyond the single-sort
+        # 2^28-entry bucket the build goes HASH-RANGE-PARTITIONED
+        # (PartitionedIndex), up to the HBM-resident ceiling
+        est = total * 2 // (self.w + 1)
+        forced_parts = int(os.environ.get("RAVEN_TPU_INDEX_PARTS", "0"))
         try:
             import jax
 
             if mode != "1" and jax.default_backend() == "cpu":
                 return False
-            from raven_tpu.overlap.device_index import DeviceIndex
-
-            self._device = DeviceIndex.build(
-                readset, ids, self.k, self.w, minhash, with_query_flags
+            from raven_tpu.overlap.device_index import (
+                DeviceIndex,
+                PartitionedIndex,
             )
+
+            if forced_parts > 1 or est > (1 << 28):
+                if est > PartitionedIndex.MAX_TOTAL_ENTRIES:
+                    return False  # beyond the HBM-resident ceiling
+                n_parts = forced_parts or -(
+                    -est // PartitionedIndex.PART_TARGET
+                )
+                self._device = PartitionedIndex.build(
+                    readset, ids, self.k, self.w, minhash,
+                    with_query_flags, max(2, n_parts),
+                )
+            else:
+                self._device = DeviceIndex.build(
+                    readset, ids, self.k, self.w, minhash, with_query_flags
+                )
         except Exception:
             if mode == "1":
                 raise

@@ -214,3 +214,55 @@ def test_join_declines_beyond_code_domain(monkeypatch):
     )
     batch = np.ones(len(rs), dtype=bool)
     assert dev.distance_join(4, batch, need_flags=False) is None
+
+
+@pytest.mark.parametrize("minhash", [False, True])
+def test_partitioned_index_parity(monkeypatch, minhash):
+    """Hash-range-partitioned index (forced 3 partitions) must reproduce
+    the host path exactly: entries, Filter occurrence, flags (global
+    rank across partitions), filtered-out positions, and the full
+    map_many overlap sets (device-chained over the concatenated
+    partition matches)."""
+    rs = _readset()
+    ids = np.arange(len(rs))
+
+    monkeypatch.setenv("RAVEN_TPU_DEVICE_MAP", "1")
+    monkeypatch.setenv("RAVEN_TPU_INDEX_PARTS", "3")
+    from raven_tpu.overlap.device_index import PartitionedIndex
+
+    part = MinimizerIndex(15, 5)
+    part.minimize(rs, ids, minhash=minhash, with_query_flags=not minhash)
+    assert isinstance(part._device, PartitionedIndex)
+    assert len(part._device.parts) == 3
+    monkeypatch.delenv("RAVEN_TPU_INDEX_PARTS")
+
+    host = _host_index(
+        rs, ids, minhash=minhash, with_flags=not minhash,
+        monkeypatch=monkeypatch,
+    )
+    assert part.num_minimizers == host.num_minimizers
+
+    ph, pi, pp, ps, pf = part._device.to_host()
+    if minhash:
+        pf = None
+    assert _entry_tuples(ph, pi, pp, ps, pf) == _entry_tuples(
+        host._hashes,
+        host._ids,
+        host._pos,
+        host._strand,
+        host._qflag if not minhash else None,
+    )
+
+    part.filter(0.001)
+    host.filter(0.001)
+    assert part._occurrence == host._occurrence
+
+    pf_out, hf_out = {}, {}
+    p_ovl = part.map_many(rs, ids, minhash=True, filtered_out=pf_out)
+    h_ovl = host.map_many(rs, ids, minhash=True, filtered_out=hf_out)
+    assert set(p_ovl) == set(h_ovl)
+    for rid in h_ovl:
+        assert np.array_equal(p_ovl[rid], h_ovl[rid]), f"read {rid}"
+    assert {k: sorted(v) for k, v in pf_out.items()} == {
+        k: sorted(v) for k, v in hf_out.items()
+    }
