@@ -145,3 +145,22 @@ def test_get_unitigs_naming(rng):
     assert len(unitigs) == 1
     assert unitigs[0].name.startswith("Utg")
     assert unitigs[0].is_unitig
+
+
+def test_fdl_device_path_matches_host_structure():
+    """Large components route to the jitted n-body; the layout must agree
+    with the host implementation structurally (f32 vs f64 paths: exact
+    equality is not expected, rank correlation is)."""
+    import raven_tpu.graph.layout as L
+
+    rng = np.random.default_rng(1)
+    n = 600
+    pts = rng.random((n, 2))
+    ea = np.arange(n - 1)
+    eb = np.arange(1, n)
+    host = L._layout_component_host(pts.copy(), ea, eb, 50)
+    assert n >= L._DEVICE_MIN_NODES
+    dev = L._layout_component(pts.copy(), ea, eb, 50)
+    assert np.isfinite(dev).all()
+    c = np.corrcoef(host.ravel(), dev.ravel())[0, 1]
+    assert c > 0.98, f"device layout diverged structurally (corr {c})"
