@@ -106,9 +106,17 @@ def overlap_stage(readset, device: bool):
     t0 = time.perf_counter()
     index = MinimizerIndex(K, W)
     index.minimize(readset, ids, minhash=False, with_query_flags=True)
+    t1 = time.perf_counter()
     index.filter(FREQ)
+    t2 = time.perf_counter()
     results = index.map_many(readset, ids, minhash=True)
-    wall = time.perf_counter() - t0
+    t3 = time.perf_counter()
+    wall = t3 - t0
+    log(
+        f"  breakdown ({'device' if device else 'host'}): "
+        f"minimize {t1 - t0:.2f}s, filter {t2 - t1:.2f}s, "
+        f"map {t3 - t2:.2f}s"
+    )
     if device and index._device is None:
         raise RuntimeError("device path did not engage")
     return wall, results, int(index._occurrence)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -72,6 +73,7 @@ def main() -> int:
 
     value = host_rate
     ratio = 1.0
+    banded_value = None
     try:
         import jax
 
@@ -87,9 +89,63 @@ def main() -> int:
             dt = time.perf_counter() - t0
             value = total_bases / dt
             ratio = value / host_rate
-            log(f"device consensus: {value:,.0f} bases/s ({dt:.1f}s)")
+            log(f"device consensus (full NW): {value:,.0f} bases/s ({dt:.1f}s)")
+
+            # anchored banded NW (true compute savings)
+            bwin = [
+                (b, f, w, [(0, len(b))] * len(f)) for b, f, w in windows
+            ]
+            device_window_consensus(bwin, iterations=2, banded=True)
+            t0 = time.perf_counter()
+            device_window_consensus(bwin, iterations=2, banded=True)
+            dtb = time.perf_counter() - t0
+            banded_value = total_bases / dtb
+            log(
+                f"device consensus (banded): {banded_value:,.0f} bases/s "
+                f"({dtb:.1f}s)"
+            )
+            if banded_value > value:
+                value = banded_value
+                ratio = value / host_rate
     except Exception as e:
         log(f"device path unavailable ({e}); reporting host rate")
+
+    # multi-chip identity check (8 virtual CPU devices in a subprocess):
+    # the sharded votes step must produce bit-identical consensus
+    sharded_ok = None
+    try:
+        code = (
+            "import os;"
+            "os.environ['JAX_PLATFORMS']='cpu';"
+            "os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')+"
+            "' --xla_force_host_platform_device_count=8';"
+            "import jax;\n"
+            "try: jax.config.update('jax_platforms','cpu')\n"
+            "except Exception: pass\n"
+            "import numpy as np;"
+            "from raven_tpu.ops.consensus_device import device_window_consensus;"
+            "from raven_tpu.parallel.mesh import make_mesh;"
+            "rng=np.random.default_rng(3);"
+            "wins=[(rng.integers(0,4,200).astype(np.uint8),"
+            "[rng.integers(0,4,210).astype(np.uint8) for _ in range(8)],"
+            "None) for _ in range(4)];"
+            "a=device_window_consensus(wins,iterations=1,t_pad=256,"
+            "q_pad=256,chunk=8);"
+            "b=device_window_consensus(wins,iterations=1,t_pad=256,"
+            "q_pad=256,chunk=8,mesh=make_mesh(8));"
+            "assert all(np.array_equal(x,y) for x,y in zip(a,b));"
+            "print('SHARDED_OK')"
+        )
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+        r = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True,
+            text=True, timeout=600,
+        )
+        sharded_ok = "SHARDED_OK" in r.stdout
+        log(f"8-virtual-device sharded consensus identical: {sharded_ok}")
+    except Exception as e:
+        log(f"sharded identity check skipped ({e})")
 
     print(
         json.dumps(
@@ -98,6 +154,10 @@ def main() -> int:
                 "value": round(value),
                 "unit": "bases/s",
                 "vs_baseline": round(ratio, 3),
+                "banded_bases_per_s": (
+                    round(banded_value) if banded_value else None
+                ),
+                "sharded_8vdev_identical": sharded_ok,
             }
         )
     )

@@ -34,6 +34,13 @@ except Exception:  # pragma: no cover
 NEG = -(1 << 20)
 
 
+def _pow2_of(v: int, lo: int = 128) -> int:
+    c = lo
+    while c < v:
+        c <<= 1
+    return c
+
+
 if HAS_JAX:
 
     @functools.partial(jax.jit, static_argnames=("T", "Q", "band"))
@@ -133,6 +140,173 @@ if HAS_JAX:
         )
         return pt, pq, pmv
 
+    @functools.partial(jax.jit, static_argnames=("T", "Q", "BW"))
+    def nw_moves_banded_kernel(
+        cons, t_lens, frags, q_lens, r0, r1, T: int, Q: int, BW: int
+    ):
+        """True banded NW (reference cuda_banded_alignment analog with
+        real compute savings): each DP row keeps only a BW-wide window of
+        fragment columns centred on the fragment's ANCHORED diagonal.
+
+        The anchor is the fragment's placement span (r0, r1) on the
+        window backbone (known exactly from the boundary-crossing window
+        placement) — a fragment covering rows [r0, r1) follows
+        j ~ (row - r0) * q_len / (r1 - r0), NOT the whole-window
+        proportional diagonal (wrong for partial-window fragments, e.g.
+        read ends).  Work per fragment: T*BW instead of T*(Q+1).
+
+        Returns (moves [T, B, BW] int8, offs [T, B] int32 band starts,
+        end_scores [T, B], row0_score [B]).  Move codes as in
+        nw_moves_kernel; tie-breaks identical within the band.
+        """
+        B = cons.shape[0]
+        i_idx = jnp.arange(BW, dtype=jnp.int32)
+        MATCH, MISMATCH, GAP = 3, -5, -4
+        span = jnp.maximum(r1 - r0, 1)
+        q_okQ = jnp.minimum(q_lens, Q)
+
+        def off_of(r):
+            # band start for DP row r+1 (frozen past the consensus end)
+            row = jnp.minimum(r + 1, jnp.maximum(t_lens, 1))
+            c = ((row - r0) * q_okQ) // span
+            c = jnp.clip(c, 0, q_okQ)
+            return jnp.clip(
+                c - BW // 2, 0, max(Q + 1 - BW, 0)
+            ).astype(jnp.int32)
+
+        # DP row 0: D[0][j] = j * GAP (fragment prefix), band at off_of(-1)
+        off_init = off_of(jnp.int32(-1))
+        j_init = off_init[:, None] + i_idx[None, :]
+        row0 = jnp.where(
+            j_init <= q_lens[:, None], j_init * GAP, NEG
+        ).astype(jnp.int32)
+        rows = jnp.arange(B)
+
+        # frag chars padded so index j reads frags[:, j-1] (j=0 -> pad)
+        frags_pad = jnp.concatenate(
+            [jnp.full((B, 1), -1, frags.dtype), frags], axis=1
+        )
+
+        def step(carry, r):
+            prev, off_prev = carry
+            off_r = off_of(r)
+            idxj = off_r[:, None] + i_idx[None, :]  # absolute j per col
+            # previous-row values at j and j-1 (band-relative regather)
+            prev_pad = jnp.concatenate(
+                [
+                    jnp.full((B, 1), NEG, jnp.int32),
+                    prev,
+                    jnp.full((B, 1), NEG, jnp.int32),
+                ],
+                axis=1,
+            )
+            rel = idxj - off_prev[:, None]  # prev-state column of j
+            relc = jnp.clip(rel + 1, 0, BW + 1)
+            in_prev = (rel >= 0) & (rel < BW)
+            prev_j = jnp.where(
+                in_prev,
+                jnp.take_along_axis(prev_pad, relc, axis=1),
+                NEG,
+            )
+            relm = jnp.clip(rel, 0, BW + 1)
+            in_prev_m = (rel - 1 >= 0) & (rel - 1 < BW)
+            prev_jm1 = jnp.where(
+                in_prev_m,
+                jnp.take_along_axis(prev_pad, relm, axis=1),
+                NEG,
+            )
+            # row 0 of the matrix is not stored once off moves: j-1 == -1
+            # never matches (handled by j==0 free column below)
+
+            tchar = jax.lax.dynamic_slice_in_dim(cons, r, 1, axis=1)
+            fchar = jnp.take_along_axis(
+                frags_pad, jnp.clip(idxj, 0, Q), axis=1
+            )
+            sub = jnp.where(fchar == tchar, MATCH, MISMATCH)
+            diag = prev_jm1 + sub
+            up = prev_j + GAP
+            take_diag = diag >= up
+            e = jnp.where(take_diag, diag, up)
+            mv = jnp.where(take_diag, jnp.int8(0), jnp.int8(1))
+            # free consensus prefix: column j == 0 restarts at 0
+            at0 = idxj == 0
+            e = jnp.where(at0, 0, e)
+            mv = jnp.where(at0, jnp.int8(1), mv)
+            # left closure within the band
+            closed = (
+                jax.lax.cummax(e - i_idx[None, :] * GAP, axis=1)
+                + i_idx[None, :] * GAP
+            )
+            left = closed > e
+            cur = jnp.where(left, closed, e)
+            mv = jnp.where(left, jnp.int8(2), mv)
+            cur = jnp.where(idxj <= q_lens[:, None], cur, NEG)
+
+            in_t = (r < t_lens)[:, None]
+            cur = jnp.where(in_t, cur, prev)
+            mv = jnp.where(in_t, mv, jnp.int8(3))
+
+            # score at j == q_len (free consensus suffix end)
+            i_q = q_lens - off_r
+            in_band = (i_q >= 0) & (i_q < BW)
+            end = jnp.where(
+                in_t[:, 0] & in_band,
+                jnp.take_along_axis(
+                    cur, jnp.clip(i_q, 0, BW - 1)[:, None], axis=1
+                )[:, 0],
+                jnp.int32(NEG),
+            )
+            off_keep = jnp.where(in_t[:, 0], off_r, off_prev)
+            return (cur, off_keep), (mv, off_keep, end)
+
+        (_, _), (moves, offs, end_scores) = jax.lax.scan(
+            step,
+            (row0, off_init),
+            jnp.arange(T, dtype=jnp.int32),
+        )
+        row0_score = jnp.where(
+            q_lens <= Q, q_lens * GAP, NEG
+        ).astype(jnp.int32)
+        return moves, offs, end_scores, row0_score
+
+    @functools.partial(
+        jax.jit, static_argnames=("T", "Q", "BW", "STEPS")
+    )
+    def traceback_banded_kernel(
+        moves, offs, end_scores, row0_score, q_lens,
+        T: int, Q: int, BW: int, STEPS: int,
+    ):
+        """Banded traceback: like traceback_kernel but moves are indexed
+        band-relative via the per-row band starts.  A walk that would
+        leave the band stops defensively (cannot happen on an optimal
+        path: out-of-band predecessors carry NEG scores)."""
+        B = q_lens.shape[0]
+        rows = jnp.arange(B)
+        best_r = jnp.argmax(end_scores, axis=0)
+        best = end_scores[best_r, rows]
+        t0 = jnp.where(row0_score >= best, 0, best_r + 1).astype(jnp.int32)
+
+        def step(carry, _):
+            t, j = carry
+            active = j > 0
+            t_idx = jnp.clip(t - 1, 0, T - 1)
+            off = offs[t_idx, rows]
+            i = j - off
+            in_band = (i >= 0) & (i < BW)
+            mv = moves[t_idx, rows, jnp.clip(i, 0, BW - 1)]
+            mv = jnp.where(t == 0, jnp.int8(2), mv)
+            mv = jnp.where(active & in_band, mv, jnp.int8(3))
+            dt = jnp.where((mv == 0) | (mv == 1), 1, 0)
+            dj = jnp.where((mv == 0) | (mv == 2), 1, 0)
+            stop = active & ~in_band & (t != 0)
+            j_next = jnp.where(stop, 0, j - dj)
+            return (t - dt, j_next), (t, j, mv)
+
+        (_, _), (pt, pq, pmv) = jax.lax.scan(
+            step, (t0, q_lens.astype(jnp.int32)), None, length=STEPS
+        )
+        return pt, pq, pmv
+
     @functools.partial(
         jax.jit, static_argnames=("T", "Q", "STEPS", "NWIN", "band")
     )
@@ -174,7 +348,16 @@ if HAS_JAX:
         pt, pq, pmv = traceback_kernel(
             moves, end_scores, row0_score, q_lens, T, Q, STEPS
         )
+        return _votes_from_paths(
+            pt, pq, pmv, cons_runs, frags, wts, win_idx, T, Q, NWIN
+        )
 
+    def _votes_from_paths(
+        pt, pq, pmv, cons_runs, frags, wts, win_idx, T, Q, NWIN
+    ):
+        """Aggregate alignment paths into the per-window vote tables
+        (shared by the full and banded NW paths)."""
+        STEPS, B = pmv.shape
         mv = pmv.reshape(-1)
         t = pt.reshape(-1).astype(jnp.int32)
         q = pq.reshape(-1).astype(jnp.int32)
@@ -222,6 +405,55 @@ if HAS_JAX:
             .reshape(NWIN, T + 1, 4)
         )
         return base_votes, ins_votes, cover
+
+    @functools.partial(
+        jax.jit, static_argnames=("T", "Q", "BW", "STEPS", "NWIN")
+    )
+    def fused_votes_banded_kernel(
+        cons_arr, cons_lens, cons_runs, frags, q_lens, wts, win_idx,
+        r0, r1, T: int, Q: int, BW: int, STEPS: int, NWIN: int,
+    ):
+        """Banded NW + banded traceback + vote aggregation in one
+        dispatch (the true-banded counterpart of fused_votes_kernel)."""
+        cw = cons_arr[win_idx]
+        cwl = cons_lens[win_idx]
+        moves, offs, end_scores, row0_score = nw_moves_banded_kernel(
+            cw, cwl, frags, q_lens, r0, r1, T, Q, BW
+        )
+        pt, pq, pmv = traceback_banded_kernel(
+            moves, offs, end_scores, row0_score, q_lens, T, Q, BW, STEPS
+        )
+        return _votes_from_paths(
+            pt, pq, pmv, cons_runs, frags, wts, win_idx, T, Q, NWIN
+        )
+
+    @functools.partial(
+        jax.jit, static_argnames=("T", "Q", "BW", "STEPS", "NWIN")
+    )
+    def fused_votes_banded_scan_kernel(
+        cons_arr, cons_lens, cons_runs, frags, q_lens, wts, win_idx,
+        r0, r1, T: int, Q: int, BW: int, STEPS: int, NWIN: int,
+    ):
+        """All chunks of one banded refinement iteration in ONE dispatch
+        (chunk-scan twin of fused_votes_scan_kernel)."""
+
+        def body(acc, xs):
+            f, ql, w, wi, a0, a1 = xs
+            bv, iv, cv = fused_votes_banded_kernel(
+                cons_arr, cons_lens, cons_runs, f, ql, w, wi, a0, a1,
+                T, Q, BW, STEPS, NWIN,
+            )
+            return (acc[0] + bv, acc[1] + iv, acc[2] + cv), None
+
+        init = (
+            jnp.zeros((NWIN, T, 5), jnp.int32),
+            jnp.zeros((NWIN, T + 1, 4), jnp.int32),
+            jnp.zeros((NWIN, T), jnp.int32),
+        )
+        (bv, iv, cv), _ = jax.lax.scan(
+            body, init, (frags, q_lens, wts, win_idx, r0, r1)
+        )
+        return bv, iv, cv
 
     @functools.partial(
         jax.jit, static_argnames=("T", "Q", "STEPS", "NWIN", "band")
@@ -438,14 +670,19 @@ def device_window_consensus(
     if not HAS_JAX:
         raise RuntimeError("jax unavailable")
     n_win = len(windows)
-    cons = [np.asarray(b, np.uint8) for b, _, _ in windows]
+    windows = [
+        (w[0], w[1], w[2], w[3] if len(w) > 3 else None)
+        for w in windows
+    ]
+    cons = [np.asarray(b, np.uint8) for b, _, _, _ in windows]
 
     # flatten fragments once
     frag_rows: list[np.ndarray] = []
     weight_rows: list[np.ndarray] = []
     win_of: list[int] = []
-    any_weights = any(wt is not None for _, _, wt in windows)
-    for wi, (_, frags, wts) in enumerate(windows):
+    span_rows: list[tuple[int, int]] = []  # placement anchors (banded)
+    any_weights = any(wt is not None for _, _, wt, _ in windows)
+    for wi, (bb, frags, wts, spans) in enumerate(windows):
         for fi, f in enumerate(frags):
             f = np.asarray(f, np.uint8)[:q_pad]
             frag_rows.append(f)
@@ -457,6 +694,11 @@ def device_window_consensus(
                 )
                 weight_rows.append(wrow)
             win_of.append(wi)
+            span_rows.append(
+                tuple(spans[fi])
+                if spans is not None
+                else (0, len(bb))
+            )
     B_total = len(frag_rows)
     if B_total == 0:
         return cons
@@ -482,6 +724,15 @@ def device_window_consensus(
         w_arr[:] = 0
         for i, wrow in enumerate(weight_rows):
             w_arr[i, : wrow.size] = wrow
+    # placement anchors in ORIGINAL backbone rows (rescaled per iteration
+    # to the current consensus length)
+    span0 = np.zeros(B_pad, dtype=np.int32)
+    span1 = np.ones(B_pad, dtype=np.int32)
+    span0[:B_total] = [s[0] for s in span_rows]
+    span1[:B_total] = [max(s[1], s[0] + 1) for s in span_rows]
+    orig_len = np.array(
+        [max(len(w[0]), 1) for w in windows], dtype=np.float64
+    )
 
     # fragments/weights are iteration-invariant: device-resident once,
     # pre-shaped [n_chunks, chunk, ...] for the single-dispatch chunk scan
@@ -511,7 +762,8 @@ def device_window_consensus(
         winof_dev = jnp.asarray(win_of_arr.reshape(n_chunks, chunk))
 
     steps = t_pad + q_pad
-    band = max(128, q_pad // 6) if banded else 0
+    BW = min(256, _pow2_of(q_pad))  # banded corridor width (lane-aligned)
+    use_banded = banded and mesh is None
     for _ in range(iterations):
         cons_arr = np.full((NWIN, t_pad), -1, dtype=np.int32)
         cons_lens = np.zeros(NWIN, dtype=np.int32)
@@ -526,11 +778,38 @@ def device_window_consensus(
 
         if mesh is not None:
             step = _votes_step_sharded(
-                mesh, t_pad, q_pad, steps, NWIN, band
+                mesh, t_pad, q_pad, steps, NWIN, 0
             )
             bv_dev, iv_dev, cv_dev = step(
                 cons_dev, clens_dev, cruns_dev,
                 frags_dev, qlens_dev, wts_dev, winof_dev,
+            )
+        elif use_banded:
+            # rescale anchors to the current consensus lengths
+            scale = cons_lens[: n_win].astype(np.float64) / orig_len
+            sc = scale[win_of_arr[:B_total]] if B_total else scale[:0]
+            r0 = np.zeros(B_pad, dtype=np.int32)
+            r1 = np.ones(B_pad, dtype=np.int32)
+            r0[:B_total] = (span0[:B_total] * sc).astype(np.int32)
+            r1[:B_total] = np.maximum(
+                (span1[:B_total] * sc).astype(np.int32),
+                r0[:B_total] + 1,
+            )
+            bv_dev, iv_dev, cv_dev = fused_votes_banded_scan_kernel(
+                cons_dev,
+                clens_dev,
+                cruns_dev,
+                frags_dev,
+                qlens_dev,
+                wts_dev,
+                winof_dev,
+                jnp.asarray(r0.reshape(n_chunks, chunk)),
+                jnp.asarray(r1.reshape(n_chunks, chunk)),
+                t_pad,
+                q_pad,
+                BW,
+                steps,
+                NWIN,
             )
         else:
             bv_dev, iv_dev, cv_dev = fused_votes_scan_kernel(
@@ -545,7 +824,7 @@ def device_window_consensus(
                 q_pad,
                 steps,
                 NWIN,
-                band,
+                0,
             )
         base_votes = np.asarray(bv_dev).astype(np.int64)
         ins_votes = np.asarray(iv_dev).astype(np.int64)

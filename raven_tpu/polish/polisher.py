@@ -49,7 +49,7 @@ def _jax_initialized() -> bool:
 
 
 def _poa_pool_worker(i):
-    _, _, backbone, frag_codes, weights = _POA_JOBS[i]
+    _, _, backbone, frag_codes, weights = _POA_JOBS[i][:5]
     s = _POA_SELF
     cons = backbone
     for _ in range(max(1, s.consensus_passes)):
@@ -259,8 +259,13 @@ class Polisher:
                     continue
                 win_id = int(bt[i]) // w
                 rel = int(bt[i]) % w
+                # placement span on the window backbone: [rel, rel_end)
+                # — the banded device kernel anchors each fragment's DP
+                # corridor on it (partial-window fragments at read ends
+                # do NOT follow the whole-window diagonal)
+                rel_end = min(int(bt[i + 1]) - win_id * w, w)
                 out.setdefault(s["tid"], {}).setdefault(win_id, []).append(
-                    (rel, s["q"][fb:fe], quals)
+                    (rel, s["q"][fb:fe], quals, rel_end)
                 )
         return out
 
@@ -367,6 +372,10 @@ class Polisher:
                     continue
                 polished_count += 1
                 frag_codes = [f[1] for f in frags]
+                spans = [
+                    (f[0], f[3] if len(f) > 3 else backbone.size)
+                    for f in frags
+                ]
                 if all(f[2] is not None for f in frags):
                     # spoa weight semantics: the raw phred value (racon
                     # passes quality chars; spoa uses char - 33)
@@ -380,7 +389,8 @@ class Polisher:
                     weights = None
                 pieces.append(None)
                 all_jobs.append(
-                    (tid, len(pieces) - 1, backbone, frag_codes, weights)
+                    (tid, len(pieces) - 1, backbone, frag_codes, weights,
+                     spans)
                 )
             per_target.append((name, codes, pieces, polished_count, num_windows))
 
@@ -427,12 +437,19 @@ class Polisher:
                 )
 
                 windows = [
-                    (backbone, frag_codes, weights)
-                    for _, _, backbone, frag_codes, weights in jobs
+                    (backbone, frag_codes, weights, spans)
+                    for _, _, backbone, frag_codes, weights, spans in jobs
                 ]
                 kwargs = {}
                 if dc is not None and dc.poa_batches > 0:
                     kwargs["chunk"] = 256 * dc.poa_batches
+                # anchored banded NW is the default: 3x less compute /
+                # 4x less HBM than the full rectangle at bit-identical
+                # lambda quality (hybrid 944 / device 1117, measured);
+                # RAVEN_TPU_BANDED=0 opts out
+                kwargs["banded"] = (
+                    os.environ.get("RAVEN_TPU_BANDED", "1") != "0"
+                )
                 # multi-chip: shard fragment chunks over the mesh
                 # (BASELINE polishing row '1 chip / 1 host / N hosts');
                 # auto when >1 accelerator device, like the overlap stage
@@ -478,7 +495,7 @@ class Polisher:
         import sys
 
         def run_one(job):
-            _, _, backbone, frag_codes, weights = job
+            _, _, backbone, frag_codes, weights = job[:5]
             cons = backbone
             for _ in range(max(1, self.consensus_passes)):
                 cons = poa_consensus(

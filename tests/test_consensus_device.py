@@ -205,3 +205,52 @@ def test_sharded_consensus_matches_single_device():
     )
     for a, b in zip(single, sharded):
         assert np.array_equal(a, b)
+
+
+def test_banded_consensus_matches_full():
+    """The anchored banded NW (true compute savings) must reproduce the
+    full kernel's consensus on realistic windows — including
+    PARTIAL-window fragments (read ends), which the per-fragment span
+    anchor handles and the whole-window proportional diagonal would not."""
+    from raven_tpu.ops.consensus_device import device_window_consensus
+
+    rng = np.random.default_rng(9)
+    windows = []
+    for _ in range(4):
+        truth = rng.integers(0, 4, 500).astype(np.uint8)
+
+        def mut(seg):
+            keep = rng.random(seg.size) >= 0.05
+            s = seg[keep]
+            subs = rng.random(s.size) < 0.04
+            s = np.where(subs, (s + 1) % 4, s).astype(np.uint8)
+            ins = rng.random(s.size) < 0.05
+            return np.repeat(s, 1 + ins.astype(np.int64))
+
+        frags, spans = [], []
+        for _ in range(20):
+            # partial spans: some fragments cover only [r0, r1)
+            if rng.random() < 0.4:
+                r0 = int(rng.integers(0, 300))
+                r1 = int(rng.integers(r0 + 150, 501))
+            else:
+                r0, r1 = 0, 500
+            frags.append(mut(truth[r0:r1]))
+            spans.append((r0, r1))
+        wts = [np.full(f.size, 9, np.uint8) for f in frags]
+        windows.append((mut(truth), frags, wts, spans))
+
+    full = device_window_consensus(
+        windows, iterations=2, t_pad=640, q_pad=768, chunk=128,
+        banded=False,
+    )
+    band = device_window_consensus(
+        windows, iterations=2, t_pad=640, q_pad=768, chunk=128,
+        banded=True,
+    )
+    # banded must be near-identical to full: tiny ED budget per window
+    from raven_tpu.ops.edit_distance import edit_distance
+
+    for i, (a, b) in enumerate(zip(full, band)):
+        ed = edit_distance(a, b)
+        assert ed <= 2, f"window {i}: banded vs full ED {ed}"

@@ -96,7 +96,10 @@ def test_device_cfg_knobs_consumed(setup, monkeypatch):
         calls["kwargs"] = kwargs
         from raven_tpu.ops.poa import poa_consensus
 
-        return [poa_consensus(b, f, w, 3, -5, -4, True) for b, f, w in windows]
+        return [
+        poa_consensus(b, f, w, 3, -5, -4, True)
+        for b, f, w, *_ in windows
+    ]
 
     import raven_tpu.ops.consensus_device as cd
 
