@@ -129,29 +129,49 @@ def ng50(lengths: list[int], genome_size: int) -> int:
 def _anchor_span(codes: np.ndarray, truth: np.ndarray, k: int = 48):
     """Locate the contig's span in truth via exact k-mer probes near the
     contig's ends (several probes each — post-polish error ~0.1% leaves
-    most k-mers exact).  Returns (t_start, t_end) or None."""
+    most k-mers exact).  Repeat-aware: a probe inside a planted repeat
+    matches several truth copies, so ALL occurrences are enumerated and
+    the (head, tail) pair whose span best matches the contig length wins.
+    Returns (t_start, t_end) or None."""
     tb = truth.tobytes()
     n = codes.size
+
+    def all_hits(o: int):
+        pat = codes[o : o + k].tobytes()
+        hits, p = [], tb.find(pat)
+        while p >= 0 and len(hits) < 64:
+            hits.append(p)
+            p = tb.find(pat, p + 1)
+        return hits
 
     def probe(region_start: int, count: int = 8, stride: int = 199):
         for i in range(count):
             o = region_start + i * stride
             if o < 0 or o + k > n:
                 continue
-            p = tb.find(codes[o : o + k].tobytes())
-            if p >= 0:
-                return o, p
+            hits = all_hits(o)
+            if hits:
+                return o, hits
         return None
 
     head = probe(0)
     tail = probe(n - k - 8 * 199)
     if head is None or tail is None:
         return None
-    t_start = head[1] - head[0]
-    t_end = tail[1] + (n - tail[0])
-    if t_end <= t_start:
-        return None
-    return max(0, t_start), min(truth.size, t_end)
+    best = None
+    for ph in head[1]:
+        for pt in tail[1]:
+            t_start = ph - head[0]
+            t_end = pt + (n - tail[0])
+            span = t_end - t_start
+            if span <= 0:
+                continue
+            dev = abs(span - n)
+            if best is None or dev < best[0]:
+                best = (dev, t_start, t_end)
+    if best is None or best[0] > 0.3 * n:
+        return None  # no consistent placement: fall back to global ED
+    return max(0, best[1]), min(truth.size, best[2])
 
 
 def contig_ed(codes: np.ndarray, truth: np.ndarray) -> tuple[int, int]:

@@ -171,6 +171,56 @@ def check_consensus_parity(rng) -> None:
     assert np.array_equal(np.asarray(cv_d)[:6], cv_h), "cover FAILED"
     log("  fused vote tables match host oracle")
 
+    # Mosaic parity of the fused Pallas consensus kernel (interpret-mode
+    # CPU parity is asserted in tests; this validates the REAL compile)
+    try:
+        from raven_tpu.ops.pallas_consensus import (
+            HAS_PALLAS,
+            fused_votes_pallas,
+        )
+
+        import jax as _jax
+
+        if HAS_PALLAS and _jax.default_backend() != "cpu":
+            bv_p, iv_p, cv_p = fused_votes_pallas(
+                jnp.asarray(cons_arr), jnp.asarray(cons_lens),
+                jnp.asarray(cons_runs), jnp.asarray(frags),
+                jnp.asarray(q_lens), jnp.asarray(wts),
+                jnp.asarray(win_of), T, Q, NWIN, interpret=False,
+            )
+            assert np.array_equal(
+                np.asarray(bv_p), np.asarray(bv_d)
+            ), "pallas base votes FAILED"
+            assert np.array_equal(
+                np.asarray(iv_p), np.asarray(iv_d)
+            ), "pallas ins votes FAILED"
+            assert np.array_equal(
+                np.asarray(cv_p), np.asarray(cv_d)
+            ), "pallas cover FAILED"
+            log("  pallas fused consensus kernel matches (Mosaic)")
+    except Exception as e:  # noqa: BLE001
+        log(f"  pallas fused consensus: FAILED ({e}) — keep it opt-in!")
+
+    # anchored banded NW parity (true banded path, default on)
+    bwins, truthsb = [], []
+    for _ in range(4):
+        truth = rng.integers(0, 4, 300).astype(np.uint8)
+        frags2 = [mutate(truth) for _ in range(15)]
+        spans = [(0, 300)] * 15
+        bwins.append((mutate(truth), frags2, None, spans))
+        truthsb.append(truth)
+    out_full = device_window_consensus(
+        bwins, iterations=2, t_pad=384, q_pad=512, chunk=64,
+        banded=False,
+    )
+    out_band = device_window_consensus(
+        bwins, iterations=2, t_pad=384, q_pad=512, chunk=64,
+        banded=True,
+    )
+    for a, b in zip(out_full, out_band):
+        assert edit_distance(a, b) <= 2, "banded vs full diverged"
+    log("  banded consensus matches full on hardware")
+
     # end-to-end window quality on device
     windows, truths2 = [], []
     for _ in range(4):

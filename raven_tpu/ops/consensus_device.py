@@ -764,6 +764,22 @@ def device_window_consensus(
     steps = t_pad + q_pad
     BW = min(256, _pow2_of(q_pad))  # banded corridor width (lane-aligned)
     use_banded = banded and mesh is None
+    # fused Pallas path (forward NW + traceback in VMEM, one dispatch per
+    # iteration): opt-in until Mosaic-validated on hardware
+    use_pallas = False
+    if mesh is None:
+        import os as _os
+
+        if _os.environ.get("RAVEN_TPU_PALLAS_CONSENSUS") == "1":
+            try:
+                from raven_tpu.ops.pallas_consensus import (
+                    HAS_PALLAS,
+                    fused_votes_pallas,
+                )
+
+                use_pallas = HAS_PALLAS
+            except Exception:
+                use_pallas = False
     for _ in range(iterations):
         cons_arr = np.full((NWIN, t_pad), -1, dtype=np.int32)
         cons_lens = np.zeros(NWIN, dtype=np.int32)
@@ -783,6 +799,20 @@ def device_window_consensus(
             bv_dev, iv_dev, cv_dev = step(
                 cons_dev, clens_dev, cruns_dev,
                 frags_dev, qlens_dev, wts_dev, winof_dev,
+            )
+        elif use_pallas:
+            bv_dev, iv_dev, cv_dev = fused_votes_pallas(
+                cons_dev,
+                clens_dev,
+                cruns_dev,
+                frags_dev.reshape(B_pad, q_pad),
+                qlens_dev.reshape(B_pad),
+                wts_dev.reshape(B_pad, q_pad),
+                winof_dev.reshape(B_pad),
+                t_pad,
+                q_pad,
+                NWIN,
+                interpret=jax.default_backend() == "cpu",
             )
         elif use_banded:
             # rescale anchors to the current consensus lengths
