@@ -266,3 +266,46 @@ def test_partitioned_index_parity(monkeypatch, minhash):
     assert {k: sorted(v) for k, v in pf_out.items()} == {
         k: sorted(v) for k, v in hf_out.items()
     }
+
+
+def test_partitioned_construct_end_to_end(monkeypatch, tmp_path):
+    """Full construct through the hash-range-partitioned index (forced 2
+    partitions) == host construct, stage by stage via the parity dump."""
+    import json
+
+    from tests.conftest import random_genome, sample_reads
+    from raven_tpu.config import OverlapPhaseCfg
+    from raven_tpu.graph import Graph, construct_graph
+
+    rng = np.random.default_rng(23)
+    genome = random_genome(rng, 20000)
+    reads, _ = sample_reads(rng, genome, 90, 2500, error=0.04)
+
+    def run(tag, partitioned):
+        rs = ReadSet.from_sequences(reads)
+        if partitioned:
+            monkeypatch.setenv("RAVEN_TPU_DEVICE_MAP", "1")
+            monkeypatch.setenv("RAVEN_TPU_INDEX_PARTS", "2")
+        else:
+            monkeypatch.setenv("RAVEN_TPU_DEVICE_MAP", "0")
+        monkeypatch.setenv("RAVEN_TPU_STAGE_DUMP", str(tmp_path / tag))
+        try:
+            g = Graph()
+            construct_graph(g, rs, OverlapPhaseCfg(use_minhash=True))
+        finally:
+            monkeypatch.delenv("RAVEN_TPU_STAGE_DUMP")
+            monkeypatch.delenv("RAVEN_TPU_DEVICE_MAP")
+            if partitioned:
+                monkeypatch.delenv("RAVEN_TPU_INDEX_PARTS")
+        recs = []
+        with open(tmp_path / tag / "stages.jsonl") as fh:
+            for line in fh:
+                recs.append(json.loads(line))
+        return g, recs
+
+    g_host, recs_host = run("host", partitioned=False)
+    g_part, recs_part = run("part", partitioned=True)
+    assert recs_part == recs_host, "per-stage parity dump diverged"
+    assert sorted(n.id for n in g_part.live_nodes()) == sorted(
+        n.id for n in g_host.live_nodes()
+    )
