@@ -273,9 +273,21 @@ def test_partitioned_construct_end_to_end(monkeypatch, tmp_path):
     partitions) == host construct, stage by stage via the parity dump."""
     import json
 
-    from tests.conftest import random_genome, sample_reads
+    import raven_tpu.overlap.device_index as di
     from raven_tpu.config import OverlapPhaseCfg
     from raven_tpu.graph import Graph, construct_graph
+
+    built = []
+    orig_build = di.PartitionedIndex.build.__func__
+
+    def spy_build(cls, *a, **kw):
+        r = orig_build(cls, *a, **kw)
+        built.append(r is not None)
+        return r
+
+    monkeypatch.setattr(
+        di.PartitionedIndex, "build", classmethod(spy_build)
+    )
 
     rng = np.random.default_rng(23)
     genome = random_genome(rng, 20000)
@@ -305,6 +317,7 @@ def test_partitioned_construct_end_to_end(monkeypatch, tmp_path):
 
     g_host, recs_host = run("host", partitioned=False)
     g_part, recs_part = run("part", partitioned=True)
+    assert built and all(built), "partitioned build did not engage"
     assert recs_part == recs_host, "per-stage parity dump diverged"
     assert sorted(n.id for n in g_part.live_nodes()) == sorted(
         n.id for n in g_host.live_nodes()
