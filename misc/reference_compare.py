@@ -231,6 +231,11 @@ def run_pipeline(readset, polish_rounds: int, minhash: bool, stage_counts: dict)
     api.remove_long_edges_from_graph(graph)
     stage_counts["after_long_edges"] = counts(graph)
     timings["assemble_s"] = round(time.perf_counter() - t0, 2)
+    # the raw sub-stage functions (like the reference's exported
+    # assemble.h sub-stages) do NOT advance the stage counter; polish's
+    # `while stage < num_rounds` loop needs stage 0 or it runs extra
+    # rounds
+    graph.stage = 0
 
     t0 = time.perf_counter()
     if polish_rounds > 0:

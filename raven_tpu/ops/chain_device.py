@@ -425,6 +425,12 @@ def chain_oversize_groups_host(
     gi = np.asarray(
         jax.lax.dynamic_slice_in_dim(dgid, off_over, n_over)
     )
+    if n_over > 16:
+        # many oversize groups: one bulk transfer beats per-group
+        # device-slice round trips (each costs a tunnel dispatch)
+        qs, ts, same_s, qp, tp = (
+            np.asarray(a) for a in (qs, ts, same_s, qp, tp)
+        )
     rows: list[np.ndarray] = []
     gids: list[np.ndarray] = []
     for s, z, g in zip(st.tolist(), sz.tolist(), gi.tolist()):
