@@ -203,8 +203,15 @@ def _layout_component(
                 min(N, 1024),
             )
             return np.asarray(out)[:n]
-        except Exception:
-            pass  # fall through to host
+        except Exception as e:
+            import sys
+
+            print(
+                f"[raven_tpu::Layout] device n-body failed for a "
+                f"{n}-node component ({type(e).__name__}: {e}); "
+                "falling back to the host loop",
+                file=sys.stderr,
+            )
     return _layout_component_host(points, edges_a, edges_b, num_iterations)
 
 

@@ -501,30 +501,44 @@ if HAS_JAX:
 
 
     @functools.lru_cache(maxsize=None)
-    def _votes_step_sharded(mesh, T, Q, STEPS, NWIN, band):
+    def _votes_step_sharded(mesh, T, Q, STEPS, NWIN, BW):
         """Multi-chip consensus: fragment chunks shard over the mesh
         (windows are embarrassingly parallel — BASELINE 'polishing at
         1 chip / 1 host / N hosts'); every device scans its local chunks
-        with the same fused kernel and the small per-window vote tables
-        psum-reduce.  Output is bit-identical to the single-device path
-        (integer adds commute)."""
+        with the same fused kernel (anchored banded when BW > 0) and the
+        small per-window vote tables psum-reduce.  Output is
+        bit-identical to the single-device path (integer adds commute)."""
         from jax.sharding import PartitionSpec as P
 
         names = mesh.axis_names
         axis = names[0] if len(names) == 1 else tuple(names)
 
-        def step(cons_arr, cons_lens, cons_runs, frags, q_lens, wts, win_idx):
-            bv, iv, cv = fused_votes_scan_kernel(
-                cons_arr, cons_lens, cons_runs,
-                frags, q_lens, wts, win_idx,
-                T, Q, STEPS, NWIN, band,
-            )
+        def step(
+            cons_arr, cons_lens, cons_runs, frags, q_lens, wts, win_idx,
+            r0, r1,
+        ):
+            if BW > 0:
+                bv, iv, cv = fused_votes_banded_scan_kernel(
+                    cons_arr, cons_lens, cons_runs,
+                    frags, q_lens, wts, win_idx, r0, r1,
+                    T, Q, BW, STEPS, NWIN,
+                )
+            else:
+                bv, iv, cv = fused_votes_scan_kernel(
+                    cons_arr, cons_lens, cons_runs,
+                    frags, q_lens, wts, win_idx,
+                    T, Q, STEPS, NWIN, 0,
+                )
             return (
                 jax.lax.psum(bv, axis),
                 jax.lax.psum(iv, axis),
                 jax.lax.psum(cv, axis),
             )
 
+        in_specs = (
+            P(), P(), P(),
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+        )
         try:
             from jax import shard_map
 
@@ -532,10 +546,7 @@ if HAS_JAX:
                 shard_map(
                     step,
                     mesh=mesh,
-                    in_specs=(
-                        P(), P(), P(),
-                        P(axis), P(axis), P(axis), P(axis),
-                    ),
+                    in_specs=in_specs,
                     out_specs=(P(), P(), P()),
                     check_vma=False,
                 )
@@ -547,10 +558,7 @@ if HAS_JAX:
                 _sm(
                     step,
                     mesh=mesh,
-                    in_specs=(
-                        P(), P(), P(),
-                        P(axis), P(axis), P(axis), P(axis),
-                    ),
+                    in_specs=in_specs,
                     out_specs=(P(), P(), P()),
                     check_rep=False,
                 )
@@ -763,7 +771,7 @@ def device_window_consensus(
 
     steps = t_pad + q_pad
     BW = min(256, _pow2_of(q_pad))  # banded corridor width (lane-aligned)
-    use_banded = banded and mesh is None
+    use_banded = banded
     # fused Pallas path (forward NW + traceback in VMEM, one dispatch per
     # iteration): opt-in until Mosaic-validated on hardware
     use_pallas = False
@@ -792,13 +800,34 @@ def device_window_consensus(
         clens_dev = jnp.asarray(cons_lens)
         cruns_dev = jnp.asarray(cons_runs)
 
+        if use_banded or mesh is not None:
+            # rescale anchors to the current consensus lengths
+            scale = cons_lens[: n_win].astype(np.float64) / orig_len
+            sc = scale[win_of_arr[:B_total]] if B_total else scale[:0]
+            r0 = np.zeros(B_pad, dtype=np.int32)
+            r1 = np.ones(B_pad, dtype=np.int32)
+            r0[:B_total] = (span0[:B_total] * sc).astype(np.int32)
+            r1[:B_total] = np.maximum(
+                (span1[:B_total] * sc).astype(np.int32),
+                r0[:B_total] + 1,
+            )
+            r0c = r0.reshape(n_chunks, chunk)
+            r1c = r1.reshape(n_chunks, chunk)
+
         if mesh is not None:
             step = _votes_step_sharded(
-                mesh, t_pad, q_pad, steps, NWIN, 0
+                mesh, t_pad, q_pad, steps, NWIN, BW if use_banded else 0
             )
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            names = mesh.axis_names
+            ax = names[0] if len(names) == 1 else tuple(names)
+            sh2 = NamedSharding(mesh, P(ax, None))
             bv_dev, iv_dev, cv_dev = step(
                 cons_dev, clens_dev, cruns_dev,
                 frags_dev, qlens_dev, wts_dev, winof_dev,
+                jax.device_put(jnp.asarray(r0c), sh2),
+                jax.device_put(jnp.asarray(r1c), sh2),
             )
         elif use_pallas:
             bv_dev, iv_dev, cv_dev = fused_votes_pallas(
@@ -815,16 +844,6 @@ def device_window_consensus(
                 interpret=jax.default_backend() == "cpu",
             )
         elif use_banded:
-            # rescale anchors to the current consensus lengths
-            scale = cons_lens[: n_win].astype(np.float64) / orig_len
-            sc = scale[win_of_arr[:B_total]] if B_total else scale[:0]
-            r0 = np.zeros(B_pad, dtype=np.int32)
-            r1 = np.ones(B_pad, dtype=np.int32)
-            r0[:B_total] = (span0[:B_total] * sc).astype(np.int32)
-            r1[:B_total] = np.maximum(
-                (span1[:B_total] * sc).astype(np.int32),
-                r0[:B_total] + 1,
-            )
             bv_dev, iv_dev, cv_dev = fused_votes_banded_scan_kernel(
                 cons_dev,
                 clens_dev,
@@ -833,8 +852,8 @@ def device_window_consensus(
                 qlens_dev,
                 wts_dev,
                 winof_dev,
-                jnp.asarray(r0.reshape(n_chunks, chunk)),
-                jnp.asarray(r1.reshape(n_chunks, chunk)),
+                jnp.asarray(r0c),
+                jnp.asarray(r1c),
                 t_pad,
                 q_pad,
                 BW,

@@ -239,6 +239,7 @@ if HAS_JAX:
                 check_rep=False,
             )
 
+    @functools.lru_cache(maxsize=None)
     def _build_step(mesh, k: int, w: int, cap: int, minhash: bool, need_flags: bool):
         """Jitted sharded index build: sketch + flags + hash-range exchange.
 
@@ -539,6 +540,7 @@ if HAS_JAX:
             _shard_map(step, mesh, (P(axis), P()), P())
         )
 
+    @functools.lru_cache(maxsize=None)
     def _join_step(mesh, maxd: int, capd: int, capm: int, capf: int, need_flags: bool):
         """Jitted sharded distance join over the exchanged index.
 

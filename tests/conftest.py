@@ -48,6 +48,12 @@ def has_lambda_data() -> bool:
     )
 
 
+if os.environ.get("RAVEN_LAMBDA_REQUIRED") and not has_lambda_data():
+    raise RuntimeError(
+        "RAVEN_LAMBDA_REQUIRED=1 but the bundled lambda dataset is absent "
+        f"({REFERENCE_DATA}) — the quality gate cannot run"
+    )
+
 requires_lambda = pytest.mark.skipif(
     not has_lambda_data(), reason="bundled lambda-phage test data not present"
 )

@@ -207,7 +207,7 @@ def test_sharded_consensus_matches_single_device():
         assert np.array_equal(a, b)
 
 
-def test_banded_consensus_matches_full():
+def test_banded_anchored_partial_fragments():
     """The anchored banded NW (true compute savings) must reproduce the
     full kernel's consensus on realistic windows — including
     PARTIAL-window fragments (read ends), which the per-fragment span
@@ -254,3 +254,41 @@ def test_banded_consensus_matches_full():
     for i, (a, b) in enumerate(zip(full, band)):
         ed = edit_distance(a, b)
         assert ed <= 2, f"window {i}: banded vs full ED {ed}"
+
+
+def test_sharded_banded_consensus_matches_single_device():
+    """banded=True must not be silently ignored on a mesh: the sharded
+    banded step must agree with the single-device banded path."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from raven_tpu.ops.consensus_device import device_window_consensus
+    from raven_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(15)
+    windows = []
+    for _ in range(5):
+        truth = rng.integers(0, 4, 300).astype(np.uint8)
+
+        def mut():
+            keep = rng.random(truth.size) >= 0.05
+            s = truth[keep]
+            subs = rng.random(s.size) < 0.04
+            return np.where(subs, (s + 1) % 4, s).astype(np.uint8)
+
+        frags = [mut() for _ in range(12)]
+        wts = [np.full(f.size, 9, np.uint8) for f in frags]
+        spans = [(0, 300)] * 12
+        windows.append((mut(), frags, wts, spans))
+
+    single = device_window_consensus(
+        windows, iterations=2, t_pad=384, q_pad=384, chunk=16,
+        banded=True,
+    )
+    sharded = device_window_consensus(
+        windows, iterations=2, t_pad=384, q_pad=384, chunk=16,
+        banded=True, mesh=make_mesh(8),
+    )
+    for a, b in zip(single, sharded):
+        assert np.array_equal(a, b)
