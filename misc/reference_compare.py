@@ -169,9 +169,14 @@ def _anchor_span(codes: np.ndarray, truth: np.ndarray, k: int = 48):
             dev = abs(span - n)
             if best is None or dev < best[0]:
                 best = (dev, t_start, t_end)
-    if best is None or best[0] > 0.3 * n:
-        return None  # no consistent placement: fall back to global ED
-    return max(0, best[1]), min(truth.size, best[2])
+    if best is not None and best[0] <= 0.3 * n:
+        return max(0, best[1]), min(truth.size, best[2])
+    # no consistent (head, tail) pair — e.g. a chimeric join across
+    # repeat copies: anchor on the head alone (the local ED against the
+    # head-anchored span then honestly shows where the contig diverges)
+    ph = head[1][0]
+    t_start = max(0, ph - head[0])
+    return t_start, min(truth.size, t_start + n)
 
 
 def contig_ed(codes: np.ndarray, truth: np.ndarray) -> tuple[int, int]:
@@ -301,6 +306,14 @@ def cmd_run(args) -> int:
         "stage_counts": stage_counts,
         "timings": timings,
     }
+    if unitigs and args.out:
+        # contig dump: metric iterations without re-assembly
+        from raven_tpu.io.readset import decode
+
+        with open(args.out + ".contigs.fa", "w") as fh:
+            for i, u in enumerate(unitigs):
+                fh.write(f">{i} len={u.codes.size}\n")
+                fh.write(decode(u.codes) + "\n")
     if unitigs:
         t0 = time.perf_counter()
         per_contig = []
