@@ -188,12 +188,17 @@ def contig_ed(codes: np.ndarray, truth: np.ndarray) -> tuple[int, int]:
     from raven_tpu.io.readset import reverse_complement
     from raven_tpu.ops.edit_distance import edit_distance_banded
 
-    best = None
+    # the head anchor determines the orientation: only ONE orientation
+    # can anchor consistently, so the expensive banded ED runs once
+    anchored = []
     for cand in (codes, reverse_complement(codes)):
         span = _anchor_span(cand, truth)
-        if span is None:
-            continue
-        s, e = span
+        if span is not None:
+            anchored.append((cand, span))
+        if anchored:
+            break
+    best = None
+    for cand, (s, e) in anchored:
         ed = edit_distance_banded(cand, truth[s:e])
         if best is None or ed < best[0]:
             best = (int(ed), int(e - s))
