@@ -75,9 +75,17 @@ def main() -> int:
     ratio = 1.0
     banded_value = None
     try:
+        import importlib.util as _ilu
+
+        _spec = _ilu.spec_from_file_location(
+            "bench_mod",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py"),
+        )
+        _bench = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_bench)
         import jax
 
-        if jax.default_backend() != "cpu":
+        if jax.default_backend() != "cpu" and _bench.tpu_alive():
             from raven_tpu.ops.consensus_device import device_window_consensus
 
             t0 = time.perf_counter()
