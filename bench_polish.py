@@ -89,7 +89,7 @@ def main() -> int:
             from raven_tpu.ops.consensus_device import device_window_consensus
 
             t0 = time.perf_counter()
-            device_window_consensus(windows, iterations=2)
+            out_full = device_window_consensus(windows, iterations=2)
             warm = time.perf_counter() - t0
             log(f"device consensus warmup: {warm:.1f}s")
             t0 = time.perf_counter()
@@ -115,6 +115,33 @@ def main() -> int:
             if banded_value > value:
                 value = banded_value
                 ratio = value / host_rate
+
+            # fused Pallas kernel (NW + traceback in VMEM) — opt-in in
+            # production until Mosaic-validated, measured here when it
+            # compiles and matches
+            try:
+                os.environ["RAVEN_TPU_PALLAS_CONSENSUS"] = "1"
+                out_p = device_window_consensus(windows, iterations=2)
+                if all(
+                    np.array_equal(a, b) for a, b in zip(out_p, out_full)
+                ):
+                    t0 = time.perf_counter()
+                    device_window_consensus(windows, iterations=2)
+                    dtp = time.perf_counter() - t0
+                    pallas_value = total_bases / dtp
+                    log(
+                        f"device consensus (pallas fused): "
+                        f"{pallas_value:,.0f} bases/s ({dtp:.1f}s)"
+                    )
+                    if pallas_value > value:
+                        value = pallas_value
+                        ratio = value / host_rate
+                else:
+                    log("pallas consensus output MISMATCH — not counted")
+            except Exception as e:  # noqa: BLE001
+                log(f"pallas consensus unavailable ({e})")
+            finally:
+                os.environ.pop("RAVEN_TPU_PALLAS_CONSENSUS", None)
     except Exception as e:
         log(f"device path unavailable ({e}); reporting host rate")
 
