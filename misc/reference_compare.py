@@ -319,7 +319,13 @@ def cmd_run(args) -> int:
             for i, u in enumerate(unitigs):
                 fh.write(f">{i} len={u.codes.size}\n")
                 fh.write(decode(u.codes) + "\n")
-    if unitigs:
+    if unitigs and args.rounds == 0:
+        # unpolished contigs carry the raw read error (~5%): their exact
+        # ED vs truth is a multi-hundred-thousand-edit banded alignment
+        # (hours at 12 Mb) with no quality signal beyond the error rate —
+        # report structure only
+        result["ed_note"] = "ED skipped for unpolished (rounds=0) run"
+    elif unitigs:
         t0 = time.perf_counter()
         per_contig = []
         total_ed = 0
