@@ -187,19 +187,32 @@ def main() -> int:
     if len(sys.argv) > 2 and sys.argv[1] == "--host-baseline":
         return host_baseline_main(sys.argv[2])
 
-    try:
-        import jax
+    # even jax.default_backend() can hang forever when the tunnel is
+    # wedged — query it inside the watchdog thread too
+    import threading
 
-        jax.config.update(
-            "jax_compilation_cache_dir", "/root/.cache/raven_tpu_jax"
-        )
-        jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs", 1.0
-        )
-        backend = jax.default_backend()
-    except Exception:
-        backend = "none"
-    log(f"jax backend: {backend}")
+    backend_box: list[str] = []
+
+    def _backend_probe():
+        try:
+            import jax
+
+            jax.config.update(
+                "jax_compilation_cache_dir", "/root/.cache/raven_tpu_jax"
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+            backend_box.append(jax.default_backend())
+        except Exception:
+            backend_box.append("none")
+
+    _t = threading.Thread(target=_backend_probe, daemon=True)
+    _t.start()
+    _t.join(240.0)
+    backend = backend_box[0] if backend_box else "none"
+    log(f"jax backend: {backend}"
+        + ("" if backend_box else " (backend init timed out)"))
 
     readset = load_or_make_readset()
     total_bases = int(readset.lengths.sum())

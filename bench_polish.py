@@ -83,9 +83,10 @@ def main() -> int:
         )
         _bench = _ilu.module_from_spec(_spec)
         _spec.loader.exec_module(_bench)
-        import jax
-
-        if jax.default_backend() != "cpu" and _bench.tpu_alive():
+        # tpu_alive probes the backend inside its own watchdog thread —
+        # call it FIRST (a bare jax.default_backend() can hang forever
+        # when the tunnel is wedged)
+        if _bench.tpu_alive():
             from raven_tpu.ops.consensus_device import device_window_consensus
 
             t0 = time.perf_counter()
