@@ -24,6 +24,25 @@ from raven_tpu.overlap.minimizer import minimize_read, minimize_reads
 from raven_tpu.overlap.types import OVERLAP_DTYPE
 
 
+def _sorted_unique(h: np.ndarray):
+    """(uniq, start, count) for an ALREADY-SORTED array.
+
+    np.unique re-sorts its input — 23 s of a 62 s host index build at
+    115 Mb went into re-sorting the sorted hash column."""
+    if not h.size:
+        return (
+            np.empty(0, h.dtype if h.size else np.uint64),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+        )
+    newrun = np.empty(h.size, dtype=bool)
+    newrun[0] = True
+    np.not_equal(h[1:], h[:-1], out=newrun[1:])
+    start = np.flatnonzero(newrun)
+    count = np.diff(np.append(start, h.size))
+    return h[start], start.astype(np.int64), count.astype(np.int64)
+
+
 class MinimizerIndex:
     def __init__(self, k: int = 15, w: int = 5):
         if not 1 <= k <= 31:
@@ -153,16 +172,10 @@ class MinimizerIndex:
         self._ids = i[order]
         self._pos = p[order]
         self._strand = s[order]
-        if self._hashes.size:
-            uniq, start, count = np.unique(
-                self._hashes, return_index=True, return_counts=True
-            )
-        else:
-            uniq = np.empty(0, np.uint64)
-            start = count = np.empty(0, np.int64)
+        uniq, start, count = _sorted_unique(self._hashes)
         self._uniq = uniq
-        self._uniq_start = start.astype(np.int64)
-        self._uniq_count = count.astype(np.int64)
+        self._uniq_start = start
+        self._uniq_count = count
         self._occurrence = np.iinfo(np.int64).max
 
     def _device_build(self, readset, ids, minhash, with_query_flags) -> bool:
@@ -275,16 +288,10 @@ class MinimizerIndex:
         h, i, p, s, f = self._device.to_host()
         self._hashes, self._ids, self._pos, self._strand = h, i, p, s
         self._qflag = f
-        if h.size:
-            uniq, start, count = np.unique(
-                h, return_index=True, return_counts=True
-            )
-        else:
-            uniq = np.empty(0, np.uint64)
-            start = count = np.empty(0, np.int64)
+        uniq, start, count = _sorted_unique(h)
         self._uniq = uniq
-        self._uniq_start = start.astype(np.int64)
-        self._uniq_count = count.astype(np.int64)
+        self._uniq_start = start
+        self._uniq_count = count
 
     @property
     def num_minimizers(self) -> int:
