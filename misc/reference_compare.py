@@ -157,7 +157,7 @@ def _anchor_span(codes: np.ndarray, truth: np.ndarray, k: int = 48):
     head = probe(0)
     tail = probe(n - k - 8 * 199)
     if head is None or tail is None:
-        return None
+        return []
     best = None
     for ph in head[1]:
         for pt in tail[1]:
@@ -170,13 +170,20 @@ def _anchor_span(codes: np.ndarray, truth: np.ndarray, k: int = 48):
             if best is None or dev < best[0]:
                 best = (dev, t_start, t_end)
     if best is not None and best[0] <= 0.3 * n:
-        return max(0, best[1]), min(truth.size, best[2])
-    # no consistent (head, tail) pair — e.g. a chimeric join across
-    # repeat copies: anchor on the head alone (the local ED against the
-    # head-anchored span then honestly shows where the contig diverges)
-    ph = head[1][0]
-    t_start = max(0, ph - head[0])
-    return t_start, min(truth.size, t_start + n)
+        return [(max(0, best[1]), min(truth.size, best[2]))]
+    # no consistent (head, tail) pair — e.g. a repeat-mediated misjoin:
+    # score against head-anchored and tail-anchored spans for several
+    # candidate repeat copies each (the caller keeps the min ED, so a
+    # contig that is mostly clean with a misjoined end scores its clean
+    # body plus the divergence, not a wrong copy's full length)
+    spans = []
+    for ph in head[1][:4]:
+        s = max(0, ph - head[0])
+        spans.append((s, min(truth.size, s + n)))
+    for pt in tail[1][:4]:
+        e = min(truth.size, pt + (n - tail[0]))
+        spans.append((max(0, e - n), e))
+    return spans
 
 
 def contig_ed(codes: np.ndarray, truth: np.ndarray) -> tuple[int, int]:
@@ -192,10 +199,9 @@ def contig_ed(codes: np.ndarray, truth: np.ndarray) -> tuple[int, int]:
     # can anchor consistently, so the expensive banded ED runs once
     anchored = []
     for cand in (codes, reverse_complement(codes)):
-        span = _anchor_span(cand, truth)
-        if span is not None:
-            anchored.append((cand, span))
-        if anchored:
+        spans = _anchor_span(cand, truth)
+        if spans:
+            anchored.extend((cand, sp) for sp in spans)
             break
     best = None
     for cand, (s, e) in anchored:
