@@ -97,6 +97,35 @@ def main() -> int:
         pairs = int(step(*args))
     dt = (time.perf_counter() - t0) / reps
 
+    # sharded polish across the process boundary: fragment chunks shard
+    # over the global mesh, vote tables psum over gloo — output must be
+    # bit-identical to the process-local single-device path (BASELINE
+    # polishing ladder: 1 chip / 1 host / N hosts)
+    from raven_tpu.ops.consensus_device import device_window_consensus
+
+    wins = []
+    for _ in range(4):
+        truth = rng.integers(0, 4, 200).astype(np.uint8)
+        frags = [
+            np.where(
+                rng.random(200) < 0.05, (truth + 1) % 4, truth
+            ).astype(np.uint8)
+            for _ in range(8)
+        ]
+        wins.append((truth.copy(), frags, None))
+    local = device_window_consensus(
+        wins, iterations=1, t_pad=256, q_pad=256, chunk=8
+    )
+    t0 = time.perf_counter()
+    sharded = device_window_consensus(
+        wins, iterations=1, t_pad=256, q_pad=256, chunk=8, mesh=mesh
+    )
+    cons_dt = time.perf_counter() - t0
+    consensus_ok = all(
+        np.array_equal(a, b) for a, b in zip(local, sharded)
+    )
+    cons_bases = sum(len(c) for c in sharded)
+
     print(
         json.dumps(
             {
@@ -105,6 +134,8 @@ def main() -> int:
                 "ndev": ndev,
                 "pairs": pairs,
                 "pairs_per_s": round(pairs / dt),
+                "consensus_ok": consensus_ok,
+                "consensus_bases_per_s": round(cons_bases / cons_dt),
             }
         )
     )

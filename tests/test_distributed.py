@@ -80,3 +80,5 @@ def test_two_process_sharded_step():
         assert rec["nproc"] == 2
         assert rec["ndev"] == 8
         assert rec["pairs"] == expected, rec
+        # sharded polish across the process boundary is bit-identical
+        assert rec["consensus_ok"] is True, rec
