@@ -46,36 +46,47 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def tpu_alive(timeout_s: float = 240.0) -> bool:
-    """Probe the accelerator with a tiny computation under a timeout.
+def probe_backend(timeout_s: float = 240.0) -> str:
+    """Backend name if a tiny computation completes within the timeout,
+    else 'none'.
 
-    The remote-TPU tunnel can wedge so hard that backend init never
+    The remote-TPU tunnel can wedge so hard that even backend init never
     returns (observed round 3: `jnp.arange(8).sum()` hangs forever) —
     without this watchdog the whole benchmark hangs and leaves NO
     artifact for the round."""
     import threading
 
-    ok: list[bool] = []
+    box: list[str] = []
 
     def probe():
         try:
             import jax
             import jax.numpy as jnp
 
-            if jax.default_backend() in ("cpu", "none"):
-                ok.append(False)
-                return
-            ok.append(int(jnp.arange(8).sum()) == 28)
+            jax.config.update(
+                "jax_compilation_cache_dir", "/root/.cache/raven_tpu_jax"
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+            name = jax.default_backend()
+            if name != "cpu" and int(jnp.arange(8).sum()) != 28:
+                name = "none"
+            box.append(name)
         except Exception:
-            ok.append(False)
+            box.append("none")
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
-    if not ok:
+    if not box:
         log(f"accelerator probe did not return within {timeout_s}s")
-        return False
-    return ok[0]
+        return "none"
+    return box[0]
+
+
+def tpu_alive(timeout_s: float = 240.0) -> bool:
+    return probe_backend(timeout_s) not in ("cpu", "none")
 
 
 def synth_reads(genome_size: int, coverage: float, mean_len: int, error: float):
@@ -187,32 +198,10 @@ def main() -> int:
     if len(sys.argv) > 2 and sys.argv[1] == "--host-baseline":
         return host_baseline_main(sys.argv[2])
 
-    # even jax.default_backend() can hang forever when the tunnel is
-    # wedged — query it inside the watchdog thread too
-    import threading
-
-    backend_box: list[str] = []
-
-    def _backend_probe():
-        try:
-            import jax
-
-            jax.config.update(
-                "jax_compilation_cache_dir", "/root/.cache/raven_tpu_jax"
-            )
-            jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 1.0
-            )
-            backend_box.append(jax.default_backend())
-        except Exception:
-            backend_box.append("none")
-
-    _t = threading.Thread(target=_backend_probe, daemon=True)
-    _t.start()
-    _t.join(240.0)
-    backend = backend_box[0] if backend_box else "none"
-    log(f"jax backend: {backend}"
-        + ("" if backend_box else " (backend init timed out)"))
+    # one watchdog probe serves both the log line and the device gate
+    # (even jax.default_backend() can hang when the tunnel is wedged)
+    backend = probe_backend()
+    log(f"jax backend: {backend}")
 
     readset = load_or_make_readset()
     total_bases = int(readset.lengths.sum())
@@ -239,9 +228,6 @@ def main() -> int:
 
     # ---- device: two passes (cold includes compiles + tunnel warm-up) ----
     device_ok = backend not in ("none", "cpu")
-    if device_ok and not tpu_alive():
-        log("accelerator unreachable (tunnel down); reporting host numbers")
-        device_ok = False
     if device_ok:
         try:
             cold, results, occ = overlap_stage(readset, device=True)

@@ -75,17 +75,11 @@ def main() -> int:
     ratio = 1.0
     banded_value = None
     try:
-        import importlib.util as _ilu
+        import bench as _bench  # same directory (sys.path[0])
 
-        _spec = _ilu.spec_from_file_location(
-            "bench_mod",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py"),
-        )
-        _bench = _ilu.module_from_spec(_spec)
-        _spec.loader.exec_module(_bench)
-        # tpu_alive probes the backend inside its own watchdog thread —
-        # call it FIRST (a bare jax.default_backend() can hang forever
-        # when the tunnel is wedged)
+        # probe_backend runs inside a watchdog thread — call it FIRST
+        # (a bare jax.default_backend() can hang forever when the
+        # tunnel is wedged)
         if _bench.tpu_alive():
             from raven_tpu.ops.consensus_device import device_window_consensus
 
@@ -121,8 +115,23 @@ def main() -> int:
             # production until Mosaic-validated, measured here when it
             # compiles and matches
             try:
+                # count actual kernel invocations: consensus_device falls
+                # back SILENTLY when pallas is unavailable, which would
+                # re-measure the standard engine under the pallas label
+                from raven_tpu.ops import pallas_consensus as _pc
+
+                calls = []
+                _orig_pallas = _pc.fused_votes_pallas
+
+                def _counting(*a, **k):
+                    calls.append(1)
+                    return _orig_pallas(*a, **k)
+
+                _pc.fused_votes_pallas = _counting
                 os.environ["RAVEN_TPU_PALLAS_CONSENSUS"] = "1"
                 out_p = device_window_consensus(windows, iterations=2)
+                if not calls:
+                    raise RuntimeError("pallas kernel did not engage")
                 if all(
                     np.array_equal(a, b) for a, b in zip(out_p, out_full)
                 ):
@@ -143,6 +152,10 @@ def main() -> int:
                 log(f"pallas consensus unavailable ({e})")
             finally:
                 os.environ.pop("RAVEN_TPU_PALLAS_CONSENSUS", None)
+                try:
+                    _pc.fused_votes_pallas = _orig_pallas
+                except Exception:
+                    pass
     except Exception as e:
         log(f"device path unavailable ({e}); reporting host rate")
 

@@ -116,6 +116,11 @@ def main() -> int:
     local = device_window_consensus(
         wins, iterations=1, t_pad=256, q_pad=256, chunk=8
     )
+    # warm the sharded executable before timing (compile + gloo setup
+    # would otherwise dominate cons_dt)
+    sharded = device_window_consensus(
+        wins, iterations=1, t_pad=256, q_pad=256, chunk=8, mesh=mesh
+    )
     t0 = time.perf_counter()
     sharded = device_window_consensus(
         wins, iterations=1, t_pad=256, q_pad=256, chunk=8, mesh=mesh

@@ -157,7 +157,7 @@ def _anchor_span(codes: np.ndarray, truth: np.ndarray, k: int = 48):
     head = probe(0)
     tail = probe(n - k - 8 * 199)
     if head is None or tail is None:
-        return []
+        return False, []
     best = None
     for ph in head[1]:
         for pt in tail[1]:
@@ -170,7 +170,8 @@ def _anchor_span(codes: np.ndarray, truth: np.ndarray, k: int = 48):
             if best is None or dev < best[0]:
                 best = (dev, t_start, t_end)
     if best is not None and best[0] <= 0.3 * n:
-        return [(max(0, best[1]), min(truth.size, best[2]))]
+        # consistent placement found
+        return True, [(max(0, best[1]), min(truth.size, best[2]))]
     # no consistent (head, tail) pair — e.g. a repeat-mediated misjoin:
     # score against head-anchored and tail-anchored spans for several
     # candidate repeat copies each (the caller keeps the min ED, so a
@@ -181,9 +182,9 @@ def _anchor_span(codes: np.ndarray, truth: np.ndarray, k: int = 48):
         s = max(0, ph - head[0])
         spans.append((s, min(truth.size, s + n)))
     for pt in tail[1][:4]:
-        e = min(truth.size, pt + (n - tail[0]))
-        spans.append((max(0, e - n), e))
-    return spans
+        s = max(0, pt - tail[0])  # clip the start, THEN project the end
+        spans.append((s, min(truth.size, s + n)))
+    return False, spans
 
 
 def contig_ed(codes: np.ndarray, truth: np.ndarray) -> tuple[int, int]:
@@ -195,14 +196,17 @@ def contig_ed(codes: np.ndarray, truth: np.ndarray) -> tuple[int, int]:
     from raven_tpu.io.readset import reverse_complement
     from raven_tpu.ops.edit_distance import edit_distance_banded
 
-    # the head anchor determines the orientation: only ONE orientation
-    # can anchor consistently, so the expensive banded ED runs once
+    # a CONSISTENT anchor pins the orientation (only one orientation can
+    # place consistently), so the expensive banded ED runs once; without
+    # one, fallback spans from BOTH orientations are all evaluated —
+    # inverted repeats can make the wrong orientation's probes hit too
     anchored = []
     for cand in (codes, reverse_complement(codes)):
-        spans = _anchor_span(cand, truth)
-        if spans:
-            anchored.extend((cand, sp) for sp in spans)
+        consistent, spans = _anchor_span(cand, truth)
+        if consistent:
+            anchored = [(cand, sp) for sp in spans]
             break
+        anchored.extend((cand, sp) for sp in spans)
     best = None
     for cand, (s, e) in anchored:
         ed = edit_distance_banded(cand, truth[s:e])

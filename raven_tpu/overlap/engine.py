@@ -31,7 +31,7 @@ def _sorted_unique(h: np.ndarray):
     115 Mb went into re-sorting the sorted hash column."""
     if not h.size:
         return (
-            np.empty(0, h.dtype if h.size else np.uint64),
+            np.empty(0, h.dtype),
             np.empty(0, np.int64),
             np.empty(0, np.int64),
         )

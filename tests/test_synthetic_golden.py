@@ -21,39 +21,38 @@ pytestmark = pytest.mark.synthetic_e2e
 ED_RATE_CEILING = 0.0005
 
 
-def _simulate(rng, genome, coverage, mean_len, sub, ins, dele):
-    reads = []
-    G = genome.size
-    n_reads = int(G * coverage / mean_len)
-    for _ in range(n_reads):
-        length = int(np.clip(rng.normal(mean_len, mean_len / 4), 500, G))
-        start = int(rng.integers(0, G - length + 1))
-        codes = genome[start : start + length]
-        keep = rng.random(codes.size) >= dele
-        codes = codes[keep]
-        s = rng.random(codes.size) < sub
-        codes = np.where(
-            s, (codes + rng.integers(1, 4, codes.size)) % 4, codes
-        ).astype(np.uint8)
-        imask = rng.random(codes.size) < ins
-        codes = np.repeat(codes, 1 + imask.astype(np.int64))
-        if rng.integers(0, 2):
-            codes = (codes[::-1] ^ 3).astype(np.uint8)
-        reads.append(codes)
-    return reads
+def _load_harness():
+    """Load misc/reference_compare.py (the simulator and the anchored-ED
+    metric live there — one error model, one metric, no drift)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "reference_compare",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "misc",
+            "reference_compare.py",
+        ),
+    )
+    rc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rc)
+    return rc
 
 
 def test_synthetic_polished_quality():
     from raven_tpu.config import OverlapPhaseCfg, PolishCfg
     from raven_tpu.graph import Graph, assemble, construct_graph
     from raven_tpu.graph.common import get_unitigs
-    from raven_tpu.io.readset import ReadSet, reverse_complement
-    from raven_tpu.ops.edit_distance import edit_distance_banded
+    from raven_tpu.io.readset import ReadSet
     from raven_tpu.polish import polish
 
+    rc = _load_harness()
     rng = np.random.default_rng(77)
     genome = rng.integers(0, 4, 400_000).astype(np.uint8)
-    reads = _simulate(rng, genome, 40, 9000, 0.025, 0.0125, 0.0125)
+    reads = rc.simulate_reads(
+        rng, genome, 40, 9000, 0.025, 0.0125, 0.0125
+    )
     rs = ReadSet.from_sequences(reads)
 
     graph = Graph()
@@ -68,19 +67,6 @@ def test_synthetic_polished_quality():
 
     # align against the assembled span (coverage dips shorten the ends);
     # reuse the compare harness's repeat-aware anchored-ED metric
-    import importlib.util
-    import os
-
-    spec = importlib.util.spec_from_file_location(
-        "reference_compare",
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "misc",
-            "reference_compare.py",
-        ),
-    )
-    rc = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(rc)
     best, span = rc.contig_ed(codes, genome)
     rate = best / codes.size
     print(f"synthetic 400kb: contig {codes.size}, ED {best}, "
