@@ -322,3 +322,45 @@ def test_partitioned_construct_end_to_end(monkeypatch, tmp_path):
     assert sorted(n.id for n in g_part.live_nodes()) == sorted(
         n.id for n in g_host.live_nodes()
     )
+
+
+def test_partitioned_occurrence_clipped_tail():
+    """PartitionedIndex.occurrence_for must compute the exact global
+    quantile even when it lands past the 4096-bin histogram tail
+    (cross-partition binary search)."""
+    import jax.numpy as jnp
+
+    from raven_tpu.overlap.device_index import (
+        DeviceIndex,
+        PartitionedIndex,
+        _RHBINS,
+    )
+
+    def make_part(run_lengths, base):
+        keys = []
+        for i, c in enumerate(run_lengths):
+            keys.extend([base + i] * c)
+        N = 1 << 14
+        key = np.full(N, 0xFFFFFFFF, np.uint32)
+        key[: len(keys)] = np.array(keys, np.uint32)
+        rid = np.zeros(N, np.int32)
+        packed = np.zeros(N, np.int32)
+        return DeviceIndex(
+            jnp.asarray(key), jnp.asarray(rid), jnp.asarray(packed),
+            len(keys), False, 15, 5,
+        )
+
+    # two partitions; one run far past the histogram clip (4096)
+    runs_a = [6000, 9] + [2] * 200
+    runs_b = [4500] + [3] * 300
+    part = PartitionedIndex(
+        [make_part(runs_a, 0), make_part(runs_b, 1 << 20)], 15, 5, False
+    )
+    all_runs = np.sort(np.array(runs_a + runs_b))
+    for f in (0.0005, 0.001, 0.004, 0.05):
+        target = min(int((1.0 - f) * all_runs.size), all_runs.size - 1)
+        expected = int(all_runs[target])
+        got = part.occurrence_for(f)
+        assert got == expected, (f, got, expected)
+        if expected >= _RHBINS - 1:
+            assert got >= _RHBINS - 1  # exercised the exact tail path
