@@ -275,6 +275,12 @@ def main() -> int:
                     "(no chaining, single-process host baseline); this "
                     "measures the full production overlap stage"
                 ),
+                "r03_baseline_note": (
+                    "host baseline is ~1.4x faster than r02 (np.unique "
+                    "re-sort removed from the index build), so "
+                    "vs_baseline is not comparable across rounds; the "
+                    "device bases/s value is"
+                ),
             }
         )
     )
