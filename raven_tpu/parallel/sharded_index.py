@@ -386,7 +386,8 @@ if HAS_JAX:
         )
 
     @functools.lru_cache(maxsize=None)
-    def _chain_prepare_step(mesh, S2: int, n_buckets: int):
+    def _chain_prepare_step(mesh, S2: int, n_buckets: int,
+                            replicate: bool = False):
         """Sharded chain stage A: re-shard the per-shard join matches by
         query read (dest = q_id mod n — every anchor of a (q, t) pair
         lands on one shard) with a single all-to-all, then run the device
@@ -448,6 +449,8 @@ if HAS_JAX:
                 recv[0], recv[1], recv[2], recv[3], recv[4], n_buckets
             )
             max_size = jax.lax.pmax(max_size, axis)
+            if replicate:  # host code reads npb with np.asarray
+                npb = jax.lax.all_gather(npb, axis, tiled=True)
             return (*anchors, *descs, npb, max_size, ovf)
 
         return jax.jit(
@@ -455,12 +458,14 @@ if HAS_JAX:
                 step,
                 mesh,
                 (P(axis),) * 5,
-                (P(axis),) * 8 + (P(axis), P(), P()),
+                (P(axis),) * 8
+                + (P() if replicate else P(axis), P(), P()),
             )
         )
 
     @functools.lru_cache(maxsize=None)
-    def _chain_lis_step(mesh, bucket_ns: tuple, kmer: int):
+    def _chain_lis_step(mesh, bucket_ns: tuple, kmer: int,
+                        replicate: bool = False):
         """Sharded chain stage B: every shard runs the batched patience-LIS
         + emission dispatch (ops/chain_device._chain_lis) over its own
         groups; bucket shapes are the static per-bucket maxima across
@@ -479,14 +484,23 @@ if HAS_JAX:
                 bucket_ns,
                 kmer,
             )
-            return stacked, count.reshape(1)
+            count = count.reshape(1)
+            if replicate:  # host assembly reads both with np.asarray
+                stacked = jax.lax.all_gather(
+                    stacked, axis, axis=1, tiled=True
+                )
+                count = jax.lax.all_gather(count, axis, tiled=True)
+            return stacked, count
 
+        out_specs = (
+            (P(), P()) if replicate else (P(None, axis), P(axis))
+        )
         return jax.jit(
             _shard_map(
                 step,
                 mesh,
                 (P(axis),) * 8 + (P(axis, None), P(axis, None)),
-                (P(None, axis), P(axis)),
+                out_specs,
             )
         )
 
@@ -540,14 +554,28 @@ if HAS_JAX:
             _shard_map(step, mesh, (P(axis), P()), P())
         )
 
+    def _multiprocess() -> bool:
+        """Multi-host runs must REPLICATE any output the host code reads
+        with np.asarray (fetching a jax.Array that spans non-addressable
+        devices raises); single-process runs keep sharded outputs (no
+        extra collectives, no n-fold copies)."""
+        try:
+            return jax.process_count() > 1
+        except Exception:
+            return False
+
     @functools.lru_cache(maxsize=None)
-    def _join_step(mesh, maxd: int, capd: int, capm: int, capf: int, need_flags: bool):
+    def _join_step(
+        mesh, maxd: int, capd: int, capm: int, capf: int,
+        need_flags: bool, replicate: bool = False,
+    ):
         """Jitted sharded distance join over the exchanged index.
 
         (key, rid, packed [P(axis)], batch_tbl, occurrence) ->
         (q_id, q_pos, t_id, t_pos, same [P(axis), capm/device],
          n_matches, match_overflow, f_rid, f_pos [P(axis), capf/device],
-         n_filtered, filt_overflow).
+         n_filtered, filt_overflow).  With replicate=True the per-shard
+        columns all_gather to every process (multi-host host-side reads).
         """
         n = mesh.devices.size
         axis = _mesh_axis(mesh)
@@ -645,35 +673,46 @@ if HAS_JAX:
             f_rid = jnp.where(f_valid, rid[fi], -1)
             f_pos = packed[fi] & _POS_MASK
 
-            return (
+            cols = (
                 jnp.where(valid, q_id, -1),
                 q_packed & _POS_MASK,
                 t_id,
                 t_packed & _POS_MASK,
                 same.astype(jnp.int8),
+            )
+            fcols = (f_rid, f_pos)
+            if replicate:
+                cols = tuple(
+                    jax.lax.all_gather(c, axis, tiled=True) for c in cols
+                )
+                fcols = tuple(
+                    jax.lax.all_gather(c, axis, tiled=True) for c in fcols
+                )
+            return (
+                *cols,
                 jax.lax.psum(total, axis),
                 jax.lax.pmax(overflow.astype(jnp.int32), axis),
-                f_rid,
-                f_pos,
+                *fcols,
                 jax.lax.psum(f_count, axis),
                 jax.lax.pmax((f_count > capf).astype(jnp.int32), axis),
             )
 
+        col_spec = P() if replicate else P(axis)
         return jax.jit(
             _shard_map(
                 step,
                 mesh,
                 (P(axis), P(axis), P(axis), P(None), P()),
                 (
-                    P(axis),
-                    P(axis),
-                    P(axis),
-                    P(axis),
-                    P(axis),
+                    col_spec,
+                    col_spec,
+                    col_spec,
+                    col_spec,
+                    col_spec,
                     P(),
                     P(),
-                    P(axis),
-                    P(axis),
+                    col_spec,
+                    col_spec,
                     P(),
                     P(),
                 ),
@@ -862,7 +901,8 @@ class ShardedIndex:
         # its own cached compile, so steady-state reruns are free)
         for attempt in range(4):
             step = _join_step(
-                self.mesh, maxd, capd, capm, capf, bool(need_flags)
+                self.mesh, maxd, capd, capm, capf, bool(need_flags),
+                replicate=_multiprocess(),
             )
             (
                 q_id,
@@ -935,7 +975,9 @@ class ShardedIndex:
         capm = q_id.shape[0] // n
         NB = len(BUCKETS)
         S2 = _pow2_at_least(max(8192, (4 * capm) // max(n, 1)), 8192)
-        step = _chain_prepare_step(self.mesh, S2, NB)
+        step = _chain_prepare_step(
+            self.mesh, S2, NB, replicate=_multiprocess()
+        )
         (
             qs, ts, sm, qp, tp,
             dstart, dsize, dgid,
@@ -979,7 +1021,9 @@ class ShardedIndex:
 
         out: dict[int, np.ndarray] = {}
         if any(bucket_ns):
-            step2 = _chain_lis_step(self.mesh, bucket_ns, int(k))
+            step2 = _chain_lis_step(
+                self.mesh, bucket_ns, int(k), replicate=_multiprocess()
+            )
             shard2 = NamedSharding(
                 self.mesh, P(_mesh_axis(self.mesh), None)
             )

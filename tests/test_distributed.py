@@ -82,3 +82,65 @@ def test_two_process_sharded_step():
         assert rec["pairs"] == expected, rec
         # sharded polish across the process boundary is bit-identical
         assert rec["consensus_ok"] is True, rec
+
+
+def test_two_process_construct_end_to_end(tmp_path):
+    """FULL construct under a real 2-process jax.distributed cluster
+    (sharded index over the global mesh, device chaining, replicated
+    host graph phases): every process must produce the same graph, and
+    it must equal the single-process host-path construct."""
+    import hashlib
+
+    import numpy as np
+
+    from tests.conftest import random_genome, sample_reads
+    from raven_tpu.config import OverlapPhaseCfg
+    from raven_tpu.graph import Graph, construct_graph
+    from raven_tpu.io.readset import ReadSet
+
+    # host oracle (same seed/workload as the worker script)
+    rng = np.random.default_rng(2)
+    genome = random_genome(rng, 16000)
+    reads, _ = sample_reads(rng, genome, 70, 2200, error=0.04)
+    rs = ReadSet.from_sequences(reads)
+    os.environ["RAVEN_TPU_DEVICE_MAP"] = "0"
+    try:
+        g = Graph()
+        construct_graph(g, rs, OverlapPhaseCfg(use_minhash=True))
+    finally:
+        del os.environ["RAVEN_TPU_DEVICE_MAP"]
+    h = hashlib.sha256()
+    for n in g.live_nodes():
+        h.update(np.int64(n.id).tobytes())
+        h.update(n.codes.tobytes())
+    for e in g.live_edges():
+        h.update(np.int64(e.id).tobytes())
+        h.update(np.int64(e.length).tobytes())
+    expected = h.hexdigest()
+
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    worker = os.path.join(REPO, "misc", "distributed_construct_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", coord],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    for rec in outs:
+        assert rec["digest"] == expected, rec
