@@ -23,6 +23,9 @@
 extern "C" {
 long long raven_myers_ed(const std::uint8_t* a, long long n,
                          const std::uint8_t* b, long long m);
+long long raven_myers_ed_banded(const std::uint8_t* a, long long n,
+                                const std::uint8_t* b, long long m,
+                                long long k);
 long long raven_chain_anchors(
     const std::uint32_t* tid, const std::uint8_t* same,
     const std::int64_t* qpos, const std::int64_t* tpos, long long n,
@@ -101,6 +104,34 @@ static void test_myers() {
   assert(raven_myers_ed(&x, 1, &x, 0) == 1);
   assert(raven_myers_ed(&x, 0, &x, 0) == 0);
   std::puts("  myers ok");
+}
+
+static void test_myers_banded() {
+  // Ukkonen contract: result <= k is the exact distance; -1 otherwise
+  for (int t = 0; t < 60; ++t) {
+    auto a = rand_seq(1 + rng() % 400);
+    auto b = rand_seq(1 + rng() % 400);
+    if (t % 2 == 0) {  // near-identical pair half the time
+      b = a;
+      for (size_t i = 0; i < b.size(); ++i)
+        if (rng() % 12 == 0) b[i] = rng() & 3;
+    }
+    long long want = dp_ed(a, b);
+    for (long long k : {1LL, 8LL, 64LL, 1024LL}) {
+      long long got = raven_myers_ed_banded(
+          a.data(), a.size(), b.data(), b.size(), k);
+      if (want <= k) {
+        assert(got == want);
+      } else {
+        assert(got == -1 || got == want);
+      }
+    }
+  }
+  std::uint8_t x = 1;
+  assert(raven_myers_ed_banded(&x, 0, &x, 1, 4) == 1);
+  assert(raven_myers_ed_banded(&x, 1, &x, 0, 0) == -1);
+  assert(raven_myers_ed_banded(&x, 0, &x, 0, 0) == 0);
+  std::puts("  myers banded ok");
 }
 
 static void test_chain() {
@@ -257,6 +288,7 @@ static void test_fastx() {
 
 int main() {
   test_myers();
+  test_myers_banded();
   test_chain();
   test_cross();
   test_poa();
