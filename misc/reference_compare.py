@@ -113,6 +113,10 @@ DATASETS = {
     "repeats": dict(size=1_000_000, coverage=50, mean_len=9000,
                     err=(0.025, 0.0125, 0.0125), seed=44,
                     repeats=2, repeat_len=20_000),
+    # D. melanogaster-scale (BASELINE ladder): ~140 Mb genome, 4.2 Gb of
+    # reads — exercises the byte-budget index-batch streaming
+    "fly": dict(size=140_000_000, coverage=30, mean_len=9000,
+                err=(0.025, 0.0125, 0.0125), seed=45),
 }
 
 
