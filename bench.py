@@ -46,15 +46,19 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def probe_backend(timeout_s: float = 240.0) -> str:
+def probe_backend(timeout_s: float | None = None) -> str:
     """Backend name if a tiny computation completes within the timeout,
     else 'none'.
 
     The remote-TPU tunnel can wedge so hard that even backend init never
     returns (observed round 3: `jnp.arange(8).sum()` hangs forever) —
     without this watchdog the whole benchmark hangs and leaves NO
-    artifact for the round."""
+    artifact for the round.  The default timeout must exceed the
+    per-process tunnel warm-up (measured 171 s on 2026-08-19)."""
     import threading
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("RAVEN_BENCH_PROBE_TIMEOUT", 600))
 
     box: list[str] = []
 
@@ -85,7 +89,7 @@ def probe_backend(timeout_s: float = 240.0) -> str:
     return box[0]
 
 
-def tpu_alive(timeout_s: float = 240.0) -> bool:
+def tpu_alive(timeout_s: float | None = None) -> bool:
     return probe_backend(timeout_s) not in ("cpu", "none")
 
 
@@ -208,23 +212,33 @@ def main() -> int:
     workers = os.cpu_count() or 1
 
     # ---- host baseline in a clean subprocess (fork pools active) ----
+    # Box load makes single host runs swing 2x+ across rounds (52 s vs
+    # 126 s on the identical workload, r03 vs r04); take the MIN of two
+    # runs — the strongest baseline is the honest one to compare against.
     result_path = "/tmp/raven_bench_host.json"
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
     env.pop("PYTHONSTARTUP", None)
-    t0 = time.perf_counter()
-    subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--host-baseline", result_path],
-        env=env,
-        check=True,
-    )
-    host_total = time.perf_counter() - t0
-    with open(result_path) as f:
-        host = json.load(f)
-    log(
-        f"host ({workers} cores): {host['wall']:.2f}s overlap stage "
-        f"({host['overlaps']} overlaps, subprocess total {host_total:.1f}s)"
-    )
+    host = None
+    host_runs = int(os.environ.get("RAVEN_BENCH_HOST_RUNS", 2))
+    for i in range(host_runs):
+        t0 = time.perf_counter()
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--host-baseline",
+             result_path],
+            env=env,
+            check=True,
+        )
+        host_total = time.perf_counter() - t0
+        with open(result_path) as f:
+            run = json.load(f)
+        log(
+            f"host ({workers} cores) run {i + 1}/{host_runs}: "
+            f"{run['wall']:.2f}s overlap stage "
+            f"({run['overlaps']} overlaps, subprocess total {host_total:.1f}s)"
+        )
+        if host is None or run["wall"] < host["wall"]:
+            host = run
 
     # ---- device: two passes (cold includes compiles + tunnel warm-up) ----
     device_ok = backend not in ("none", "cpu")
@@ -253,33 +267,42 @@ def main() -> int:
                 "metric": "overlap_stage_bases_per_s_per_chip",
                 "value": round(total_bases / steady),
                 "unit": "bases/s",
-                "vs_baseline": round(host["wall"] / steady, 3),
+                # HEADLINE ratio = the BASELINE.md definition: device chip
+                # vs a 16-THREAD CPU.  This box has `host_workers` cores,
+                # so the baseline wall is linearly extrapolated to 16
+                # threads (best-of-N host runs; see host_s) — the honest,
+                # conservative comparison (linear scaling overstates the
+                # 16-thread CPU, never the device).
+                "vs_baseline": round(
+                    host["wall"] / steady * workers / 16, 3
+                ),
+                "vs_16thread_equiv": round(
+                    host["wall"] / steady * workers / 16, 3
+                ),
+                "vs_host_4core": round(host["wall"] / steady, 3),
                 "host_s": round(host["wall"], 2),
+                "host_16thread_equiv_s": round(
+                    host["wall"] * workers / 16, 2
+                ),
                 "device_cold_s": round(cold, 2),
                 "device_steady_s": round(steady, 2),
                 "host_workers": workers,
                 "total_bases": total_bases,
                 "overlaps": host["overlaps"],
-                # the north-star baseline is a 16-THREAD CPU; this box has
-                # `host_workers` cores, so carry the linear 16-thread
-                # extrapolation explicitly instead of letting the small-box
-                # ratio flatter the device number
-                "vs_16thread_equiv": round(
-                    host["wall"] / steady * workers / 16, 3
-                ),
-                "host_16thread_equiv_s": round(
-                    host["wall"] * workers / 16, 2
-                ),
                 "r01_metric_note": (
                     "r01 benchmarked candidate-pair counting only "
                     "(no chaining, single-process host baseline); this "
                     "measures the full production overlap stage"
                 ),
-                "r03_baseline_note": (
-                    "host baseline is ~1.4x faster than r02 (np.unique "
-                    "re-sort removed from the index build), so "
-                    "vs_baseline is not comparable across rounds; the "
-                    "device bases/s value is"
+                "r04_baseline_note": (
+                    "headline vs_baseline now IS vs_16thread_equiv (r01-"
+                    "r03 reported the 4-core host ratio, which flattered "
+                    "the device). host_s is the best of "
+                    f"{host_runs} runs: single host runs swing 2x+ with "
+                    "box load (52.5 s vs 126.1 s on the identical "
+                    "workload), which explains most of the r02->r03 "
+                    "vs_baseline movement; the device bases/s value is "
+                    "the stable cross-round metric"
                 ),
             }
         )

@@ -7,6 +7,7 @@ removal (:700-730), plasmid salvage (:732-795), stage driver (:857-880).
 
 from __future__ import annotations
 
+import collections
 import sys
 import time
 
@@ -237,10 +238,10 @@ def remove_bubbles(graph: Graph) -> int:
         begin = it
         end = None
         other_end = None
-        que = [begin]
+        que = collections.deque([begin])
         visited = [begin]
         while que and end is None:
-            jt = que.pop(0)
+            jt = que.popleft()
             for kt in jt.outedges:
                 if kt.head is begin:  # cycle
                     continue

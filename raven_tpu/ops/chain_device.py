@@ -50,6 +50,14 @@ except Exception:  # pragma: no cover
 
 from raven_tpu.overlap.types import OVERLAP_DTYPE
 
+
+def _chprof(label, t0):
+    from raven_tpu.overlap.device_index import _PROF, _prof
+
+    if _PROF:
+        return _prof(label, t0)
+    return t0
+
 DIAGONAL_BAND = 500
 MIN_MATCHES = 4
 MAX_GAP = 10000
@@ -350,6 +358,8 @@ if HAS_JAX:
             return a[:, :P].reshape(-1)
 
         rep = lambda v: jnp.broadcast_to(v[:, None], (n_g, P)).reshape(-1)
+        # pack (cnt, same) into one int32 lane (cnt <= G < 2^30): one
+        # fewer sort operand here and one fewer d2h column downstream
         return (
             sl(egid_s),
             sl(ek_s),
@@ -359,19 +369,24 @@ if HAS_JAX:
             sl(le_s),
             sl(rb_s),
             sl(re_s),
-            sl(cnt_s),
-            rep(same_g),
+            sl(cnt_s) | (rep(same_g) << 30),
         )
 
     @functools.partial(
-        jax.jit, static_argnames=("bucket_ns", "kmer")
+        jax.jit, static_argnames=("bucket_ns", "kmer", "with_gid")
     )
-    def _chain_lis(anchors, descs, offs, nbs, bucket_ns, kmer):
+    def _chain_lis(anchors, descs, offs, nbs, bucket_ns, kmer,
+                   with_gid=True):
         """Stage B (one dispatch): every non-empty size bucket's LIS +
         emission, then the global (gid, piece) sort that reproduces host
         emission order.  bucket_ns: static per-bucket padded group counts
-        (0 = bucket empty).  Returns stacked overlap columns [8, cap]
-        (gid-sorted, sentinel-keyed tail) + the valid count."""
+        (0 = bucket empty).  Returns stacked overlap columns [8|7, cap]
+        (gid-sorted, sentinel-keyed tail) + the valid count.
+
+        with_gid=False drops the gid column from the output (the d2h
+        transfer is the chain stage's top cost through the remote
+        tunnel); callers that merge host-chained oversize groups by gid
+        must keep it."""
         # bucket slices may reach past the descriptor array on small
         # inputs (pow2 row padding): extend with sentinel descriptors
         pad = max(bucket_ns)
@@ -390,13 +405,15 @@ if HAS_JAX:
                 )
             )
         cat = [
-            jnp.concatenate([p[c] for p in parts]) for c in range(10)
+            jnp.concatenate([p[c] for p in parts]) for c in range(9)
         ]
         srt = jax.lax.sort(tuple(cat), num_keys=2)
         count = (srt[0] != I32_INF).sum(dtype=jnp.int32)
-        # gid, qid, tid, lhs_b, lhs_e, rhs_b, rhs_e, cnt, same (gid kept
-        # so host-chained oversize groups can merge in emission order)
-        return jnp.stack((srt[0],) + srt[2:]), count
+        # [gid,] qid, tid, lhs_b, lhs_e, rhs_b, rhs_e, cnt|same<<30 (gid
+        # kept when host-chained oversize groups must merge in emission
+        # order)
+        lead = (srt[0],) if with_gid else ()
+        return jnp.stack(lead + srt[2:]), count
 
     @functools.partial(jax.jit, static_argnames=("take",))
     def _slice_cols(stacked, take):
@@ -460,9 +477,15 @@ def chain_oversize_groups_host(
 
 def _assemble_overlaps(cols, count, host_rows=None, host_gids=None):
     """Build the {read_id: overlaps} dict from device chain columns
-    (gid-led, emission-ordered), merging host-chained oversize groups at
-    their gid rank."""
-    gid, qid, tid, lhs_b, lhs_e, rhs_b, rhs_e, cnt, same_o = cols
+    (emission-ordered; gid-led 8-col layout or gid-less 7-col layout,
+    cnt and same packed in one lane), merging host-chained oversize
+    groups at their gid rank."""
+    if len(cols) == 8:
+        gid, qid, tid, lhs_b, lhs_e, rhs_b, rhs_e, cs = cols
+    else:
+        qid, tid, lhs_b, lhs_e, rhs_b, rhs_e, cs = cols
+        gid = None
+    cs = np.asarray(cs)
     big = np.zeros(count, dtype=OVERLAP_DTYPE)
     big["lhs_id"] = qid
     big["lhs_begin"] = lhs_b
@@ -470,10 +493,10 @@ def _assemble_overlaps(cols, count, host_rows=None, host_gids=None):
     big["rhs_id"] = tid
     big["rhs_begin"] = rhs_b
     big["rhs_end"] = rhs_e
-    big["score"] = cnt
-    big["strand"] = same_o
-    gid = gid.astype(np.int64)
+    big["score"] = cs & ((1 << 30) - 1)
+    big["strand"] = (cs >> 30) & 1
     if host_rows is not None and host_rows.size:
+        gid = gid.astype(np.int64)
         big = np.concatenate([big, host_rows])
         gid = np.concatenate([gid, host_gids])
         order = np.argsort(gid, kind="stable")
@@ -510,9 +533,15 @@ def chain_from_prepared(prepared, k):
     if not any(bucket_ns):
         if host_rows is None or not host_rows.size:
             return {}
-        empty = (np.zeros(0, np.int64),) * 9
+        empty = (np.zeros(0, np.int64),) * 8
         return _assemble_overlaps(empty, 0, host_rows, host_gids)
 
+    import time as _time
+
+    # gid is only consumed by the host-merge of oversize groups; without
+    # them, skip its d2h column entirely
+    with_gid = bool(host_rows is not None and host_rows.size)
+    t0 = _time.perf_counter()
     stacked, count = _chain_lis(
         anchors,
         descs,
@@ -520,19 +549,23 @@ def chain_from_prepared(prepared, k):
         jnp.asarray(n_per_bucket[: len(BUCKETS)].astype(np.int32)),
         bucket_ns,
         int(k),
+        with_gid=with_gid,
     )
     count = int(count)
+    t0 = _chprof("chain.lis", t0)
     if count == 0 and (host_rows is None or not host_rows.size):
         return {}
+    # 64k-granular slice: the pow2 round-up nearly doubled the d2h bytes
+    # (each distinct `take` compiles only a trivial slice kernel)
     take = max(
         1,
-        min(
-            _pow2_at_least(max(count, 1), 1 << 10, 1 << 30),
-            int(stacked.shape[1]),
-        ),
+        min(-(-max(count, 1) // 65536) * 65536, int(stacked.shape[1])),
     )
     cols = np.asarray(_slice_cols(stacked, take))[:, :count]
-    return _assemble_overlaps(cols, count, host_rows, host_gids)
+    t0 = _chprof("chain.cols_d2h", t0)
+    out = _assemble_overlaps(cols, count, host_rows, host_gids)
+    _chprof("chain.assemble_host", t0)
+    return out
 
 
 def chain_matches_device(q_id, q_pos, t_id, t_pos, same, k):

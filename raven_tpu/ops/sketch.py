@@ -68,8 +68,91 @@ def segment_reads(
     out = np.zeros((S, width), dtype=np.uint8)
     for r, codes in enumerate(rows):
         out[r, : codes.size] = codes
-    m = np.array(meta, dtype=np.int32)
+    m = np.array(meta, dtype=np.int32).reshape(S, 5)
     return out, m[:, 0], m[:, 1], m[:, 2], m[:, 3], m[:, 4]
+
+
+def segment_reads_packed(
+    readset, ids: np.ndarray, k: int, w: int, width: int = 2048
+):
+    """segment_reads followed by 2-bit packing (4 bases/byte), as one
+    native C++ pass when the readset stores flat SoA codes.
+
+    Returns (packed [S, width//4] uint8, eff, rids, base, clo, chi).
+    The packed rows feed the device index h2d upload directly
+    (overlap/device_index.py) — the python segment + pack pair was the
+    serial host head of the device overlap stage (~5 s of a ~9 s steady
+    stage at 115 Mbp)."""
+    ids = np.ascontiguousarray(np.asarray(ids, dtype=np.int64))
+    halo = (k - 1) + 2 * (w - 1)
+    stride = width - halo
+    assert stride > 0 and width % 4 == 0
+
+    codes_flat = getattr(readset, "codes", None)
+    starts = getattr(readset, "starts", None)
+    native = None
+    if (
+        isinstance(codes_flat, np.ndarray)
+        and isinstance(starts, np.ndarray)
+        and codes_flat.dtype == np.uint8
+        and codes_flat.flags.c_contiguous
+    ):
+        from raven_tpu import native as native_mod
+
+        native = native_mod.get_lib()
+    if native is not None and hasattr(native, "raven_segment_pack"):
+        import ctypes
+        import os as _os
+
+        lengths = np.ascontiguousarray(readset.lengths, dtype=np.int64)
+        starts64 = np.ascontiguousarray(starts, dtype=np.int64)
+        n = lengths[ids]
+        segs = np.where(
+            n < k + w - 1,
+            0,
+            1 + np.maximum(0, -(-(n - width) // stride)),
+        ).astype(np.int64)
+        row_off = np.zeros(ids.size + 1, dtype=np.int64)
+        np.cumsum(segs, out=row_off[1:])
+        S = int(row_off[-1])
+        packed = np.empty((S, width // 4), dtype=np.uint8)
+        eff = np.empty(S, dtype=np.int32)
+        rid = np.empty(S, dtype=np.int32)
+        base = np.empty(S, dtype=np.int32)
+        clo = np.empty(S, dtype=np.int32)
+        chi = np.empty(S, dtype=np.int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        native.raven_segment_pack(
+            codes_flat.ctypes.data_as(u8p),
+            starts64.ctypes.data_as(i64p),
+            lengths.ctypes.data_as(i64p),
+            ids.ctypes.data_as(i64p),
+            ctypes.c_longlong(ids.size),
+            row_off.ctypes.data_as(i64p),
+            ctypes.c_int(k),
+            ctypes.c_int(w),
+            ctypes.c_int(width),
+            packed.ctypes.data_as(u8p),
+            eff.ctypes.data_as(i32p),
+            rid.ctypes.data_as(i32p),
+            base.ctypes.data_as(i32p),
+            clo.ctypes.data_as(i32p),
+            chi.ctypes.data_as(i32p),
+            ctypes.c_int(min(16, _os.cpu_count() or 1)),
+        )
+        return packed, eff, rid, base, clo, chi
+
+    codes, eff, rids, base, clo, chi = segment_reads(
+        readset, ids, k, w, width=width
+    )
+    S = codes.shape[0]
+    c4 = codes.reshape(S, width // 4, 4)
+    packed = (
+        c4[..., 0] | (c4[..., 1] << 2) | (c4[..., 2] << 4) | (c4[..., 3] << 6)
+    ).astype(np.uint8)
+    return packed, eff, rids, base, clo, chi
 
 
 if HAS_JAX:

@@ -36,8 +36,27 @@ size.
 from __future__ import annotations
 
 import functools
+import os
+import sys
+import time
 
 import numpy as np
+
+_PROF = os.environ.get("RAVEN_TPU_PROFILE") == "1"
+
+
+def _prof(label: str, t0: float) -> float:
+    """Sub-phase wall timer, enabled by RAVEN_TPU_PROFILE=1 (the callers
+    block on device results first so the numbers are attributable).
+    Returns a fresh t0."""
+    t1 = time.perf_counter()
+    if _PROF:
+        print(
+            f"[raven_tpu::prof] {label} {t1 - t0:.3f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+    return t1
 
 try:
     import jax
@@ -50,7 +69,11 @@ try:
 except Exception:  # pragma: no cover
     HAS_JAX = False
 
-from raven_tpu.ops.sketch import UINT32_INF, segment_reads, sketch_segments_kernel
+from raven_tpu.ops.sketch import (
+    UINT32_INF,
+    segment_reads_packed,
+    sketch_segments_kernel,
+)
 
 SEG_WIDTH = 2048
 MAX_D = 32  # static unroll cap; occurrence > MAX_D + 1 -> host fallback
@@ -597,9 +620,11 @@ class DeviceIndex:
         ids = np.asarray(ids, dtype=np.int64)
         use_pallas = jax.default_backend() == "tpu"
 
-        codes, eff, rids, base, clo, chi = segment_reads(
+        t0 = time.perf_counter()
+        codes, eff, rids, base, clo, chi = segment_reads_packed(
             readset, ids, k, w, width=SEG_WIDTH
         )
+        t0 = _prof("build.segment_pack", t0)
         S = codes.shape[0]
         if S == 0:
             return None
@@ -608,16 +633,6 @@ class DeviceIndex:
         # per-chunk compaction capacity: minimizer density is ~2/(w+1);
         # 45% gives generous headroom and the true count is checked below
         cap = max(256, int(chunk * SEG_WIDTH * 0.45) // 256 * 256)
-
-        # pack 4 bases/byte so the h2d segment transfer shrinks 4x (the
-        # device unpacks inside the sketch dispatch)
-        c4 = codes.reshape(S, codes.shape[1] // 4, 4)
-        codes = (
-            c4[..., 0]
-            | (c4[..., 1] << 2)
-            | (c4[..., 2] << 4)
-            | (c4[..., 3] << 6)
-        ).astype(np.uint8)
         # stack the segment arrays [n_chunks, chunk, ...] and sketch every
         # chunk in ONE device dispatch (scan inside _chunk_sketch_compact)
         S_pad = n_chunks * chunk
@@ -628,10 +643,17 @@ class DeviceIndex:
                     [a, np.zeros((S_pad - S,) + a.shape[1:], dtype=a.dtype)]
                 )
             args.append(jnp.asarray(a.reshape((n_chunks, chunk) + a.shape[1:])))
+        if _PROF:
+            jax.block_until_ready(args)
+        t0 = _prof("build.h2d_upload", t0)
         key, rid, packed, counts_dev = _chunk_sketch_compact(
             *args, k, w, use_pallas, cap
         )
+        if _PROF:
+            jax.block_until_ready(key)
+        t0 = _prof("build.sketch_compact", t0)
         counts = [int(c) for c in np.asarray(counts_dev)]
+        t0 = _prof("build.counts_d2h", t0)
         if any(c > cap for c in counts):
             return None  # compaction would clip real entries
         total = sum(counts)
@@ -665,7 +687,9 @@ class DeviceIndex:
             jnp.zeros(budget.shape[0], jnp.int32), bool(need_flags),
             bool(minhash),
         )
-        return cls(key, rid, packed, int(n_valid), need_flags, k, w)
+        n_valid = int(n_valid)
+        _prof("build.finalize", t0)
+        return cls(key, rid, packed, n_valid, need_flags, k, w)
 
     # ---------------------------------------------------------------- filter
     def _ensure_counts(self):
@@ -714,7 +738,11 @@ class DeviceIndex:
             return None
         if need_flags and not self.has_flags:
             return None
+        t0 = time.perf_counter()
         self._ensure_counts()
+        if _PROF:
+            jax.block_until_ready(self._counts)
+        t0 = _prof("join.run_lengths", t0)
         maxd = min(MAX_D, max(occurrence - 1, 1))
 
         # count-sorted compacted join table (cached per occurrence):
@@ -746,6 +774,7 @@ class DeviceIndex:
             )
         _, jkey, jrid, jpacked, jcounts, M, suffix = self._jcache
         n_usable = int(suffix[0])
+        t0 = _prof("join.compact_usable", t0)
 
         batch_tbl = jnp.asarray(batch.astype(np.uint8))
         inb = _entry_inbatch(jrid, batch_tbl)
@@ -797,6 +826,7 @@ class DeviceIndex:
             if not any(bool(o.any()) for o in overflows):
                 break
             code_parts = None
+        t0 = _prof("join.distance_buckets", t0)
         total = sum(int(np.asarray(c).sum()) for c in count_parts)
         capj = _pow2_at_least(max(total, 1), 1 << 14, 1 << 30)
         if total > capj:
@@ -819,7 +849,11 @@ class DeviceIndex:
                     code_parts, jrid, jpacked, capj, n_slabs,
                     len(BUCKETS),
                 )
+                if _PROF:
+                    jax.block_until_ready(prepared)
+                t0 = _prof("join.finish", t0)
                 res = chain_from_prepared(prepared, chain_k)
+                t0 = _prof("join.chain", t0)
             else:
                 codes = _join_flatten_concat(code_parts, capj)
                 rows = codes[: n_slabs * L].reshape(n_slabs, L)
@@ -947,7 +981,7 @@ class PartitionedIndex:
         ids = np.asarray(ids, dtype=np.int64)
         use_pallas = jax.default_backend() == "tpu"
 
-        codes, eff, rids, base, clo, chi = segment_reads(
+        codes, eff, rids, base, clo, chi = segment_reads_packed(
             readset, ids, k, w, width=SEG_WIDTH
         )
         S = codes.shape[0]
@@ -963,13 +997,6 @@ class PartitionedIndex:
         )
         cap = min(cap, cap_full)
 
-        c4 = codes.reshape(S, codes.shape[1] // 4, 4)
-        codes = (
-            c4[..., 0]
-            | (c4[..., 1] << 2)
-            | (c4[..., 2] << 4)
-            | (c4[..., 3] << 6)
-        ).astype(np.uint8)
         S_pad = n_chunks * chunk
         args = []
         for a in (codes, eff, rids, base, clo, chi):

@@ -1034,22 +1034,22 @@ class ShardedIndex:
                     jnp.asarray(npb[:, :NB].copy()), shard2
                 ),
             )
-            stacked = np.asarray(stacked)  # [9, n * cap]
+            stacked = np.asarray(stacked)  # [8, n * cap] (gid-led)
             counts = np.asarray(counts)  # [n]
             cap = stacked.shape[1] // n
         else:
-            stacked = np.zeros((9, 0), np.int64)
+            stacked = np.zeros((8, 0), np.int64)
             counts = np.zeros(n, np.int64)
             cap = 0
 
-        empty9 = tuple(np.zeros(0, np.int64) for _ in range(9))
+        empty8 = tuple(np.zeros(0, np.int64) for _ in range(8))
         for d in range(n):
             c = int(counts[d])
             hr, hg = host_parts.get(d, (None, None))
             if c == 0 and (hr is None or not hr.size):
                 continue
             cols = (
-                stacked[:, d * cap : d * cap + c] if c else empty9
+                stacked[:, d * cap : d * cap + c] if c else empty8
             )
             out.update(_assemble_overlaps(cols, c, hr, hg))
         return out

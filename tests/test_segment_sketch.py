@@ -75,3 +75,37 @@ def test_segment_claims_disjoint(rng):
     for (a1, b1), (a2, b2) in zip(ranges, ranges[1:]):
         assert b1 == a2
     assert ranges[0][0] == 0
+
+
+def test_segment_reads_packed_native_parity(rng):
+    """Native C++ segment+pack (native/segment_pack.cc) must be
+    bit-identical to the python segment_reads + 2-bit packing pair —
+    including non-contiguous id subsets and too-short reads."""
+    from raven_tpu.ops.sketch import segment_reads_packed
+
+    k, w = 15, 5
+    reads = [
+        rng.integers(0, 4, int(n)).astype(np.uint8)
+        for n in rng.integers(5, 7000, 120)
+    ]
+    rs = ReadSet.from_sequences(reads)
+    for ids in (
+        np.arange(len(reads)),
+        np.array([3, 0, 77, 119, 50]),
+        np.zeros(0, np.int64),
+    ):
+        codes, eff, rid, base, clo, chi = segment_reads(
+            rs, ids, k, w, width=2048
+        )
+        S = codes.shape[0]
+        c4 = codes.reshape(S, 512, 4)
+        want = (
+            c4[..., 0]
+            | (c4[..., 1] << 2)
+            | (c4[..., 2] << 4)
+            | (c4[..., 3] << 6)
+        ).astype(np.uint8)
+        p, e2, r2, b2, c2, h2 = segment_reads_packed(rs, ids, k, w)
+        assert np.array_equal(p, want)
+        for a, b in ((eff, e2), (rid, r2), (base, b2), (clo, c2), (chi, h2)):
+            assert np.array_equal(a, b)
