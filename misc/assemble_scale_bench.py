@@ -11,8 +11,15 @@ reported at fly scale"), on a synthetic repeat-heavy graph:
   * junction clusters every JUNCTION_EVERY nodes (repeat entry/exit),
   * tips and 2-path bubbles sprinkled at realistic rates.
 
-Usage: python misc/assemble_scale_bench.py [n_nodes] (default 100_000)
+Usage: python misc/assemble_scale_bench.py [n_nodes] [--cpu]
+           [--skip-long-edges]  (default 100_000)
 Prints one JSON line with per-stage wall seconds.
+
+--skip-long-edges: measure the pointer-graph passes (transitive, tips,
+bubbles) without the FDL stage — the FDL is the production device
+n-body (graph/layout.py) and is measured on accelerator hardware via
+misc/tpu_measure.sh; on a plain CPU box the exact dense O(n^2)
+repulsion is the wall, not the graph passes.
 """
 
 from __future__ import annotations
@@ -83,6 +90,7 @@ def main() -> int:
         remove_transitive_edges,
     )
 
+    skip_long = "--skip-long-edges" in sys.argv
     timings = {"n_backbone": n, "build_s": round(build_s, 2)}
     t0 = time.perf_counter()
     remove_transitive_edges(g)
@@ -90,9 +98,10 @@ def main() -> int:
     t0 = time.perf_counter()
     remove_tips_and_bubbles(g)
     timings["tips_bubbles_s"] = round(time.perf_counter() - t0, 2)
-    t0 = time.perf_counter()
-    remove_long_edges_stage(g)
-    timings["long_edges_s"] = round(time.perf_counter() - t0, 2)
+    if not skip_long:
+        t0 = time.perf_counter()
+        remove_long_edges_stage(g)
+        timings["long_edges_s"] = round(time.perf_counter() - t0, 2)
     timings["nodes_left"] = sum(1 for _ in g.live_nodes())
     timings["edges_left"] = sum(1 for _ in g.live_edges())
     print(json.dumps(timings))

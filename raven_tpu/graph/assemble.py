@@ -16,7 +16,7 @@ import numpy as np
 from raven_tpu.graph.common import create_unitigs, remove_edges
 from raven_tpu.graph.graph import Graph, Node
 from raven_tpu.graph.layout import create_force_directed_layout
-from raven_tpu.ops.edit_distance import edit_distance
+from raven_tpu.ops.edit_distance import edit_distance_bounded
 
 TRANSITIVE_EPS = 0.12  # assemble.cc:28
 TIP_MAX_READS = 5  # assemble.cc:101
@@ -218,9 +218,19 @@ def remove_bubbles(graph: Graph) -> int:
                 BUBBLE_MIN_RATIO
             ):
                 return set()
-            ed = edit_distance(l_seq, r_seq)
-            score = 1 - ed / max(l_seq.size, r_seq.size)
-            if score < BUBBLE_MIN_IDENTITY:
+            # the check only needs "ED <= (1 - identity) * max": banded
+            # Myers with that band is exact below it and ~25x cheaper on
+            # 500 kb paths than the full matrix.  The limit is the
+            # largest integer ED the ORIGINAL float comparison
+            # (1 - ed/mx >= identity) accepts — int(mx * (1 - id))
+            # undershoots by 1 at exact-boundary sizes because
+            # 1 - 0.8 == 0.19999999999999996 in binary.
+            mx = max(l_seq.size, r_seq.size)
+            limit = int(mx * (1 - BUBBLE_MIN_IDENTITY)) + 2
+            while limit > 0 and 1 - limit / mx < BUBBLE_MIN_IDENTITY:
+                limit -= 1
+            ed = edit_distance_bounded(l_seq, r_seq, limit)
+            if ed > limit:
                 return set()
 
         lhs_count = sum(j.count for j in lhs)

@@ -148,6 +148,43 @@ def edit_distance_banded(
         k *= 2
 
 
+def edit_distance_bounded(
+    a: np.ndarray | str, b: np.ndarray | str, limit: int
+) -> int:
+    """Exact edit distance if it is <= limit, else any value > limit.
+
+    Threshold checks (bubble path similarity >= 0.8, assemble.cc:267-279)
+    never need the exact distance of dissimilar pairs — one banded Myers
+    pass with band = limit answers them in O(m * limit / 64) instead of
+    the full O(m * n / 64) matrix (a 500 kb bubble pair drops ~25x)."""
+    if isinstance(a, str):
+        from raven_tpu.io.readset import encode
+
+        a = encode(a)
+    if isinstance(b, str):
+        from raven_tpu.io.readset import encode
+
+        b = encode(b)
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    b = np.ascontiguousarray(b, dtype=np.uint8)
+    limit = int(limit)
+    if abs(a.size - b.size) > limit:
+        return limit + 1  # ED >= |n - m|
+    fn = _native_ed_banded()
+    if fn is None:
+        return edit_distance(a, b)
+    r = int(
+        fn(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            a.size,
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            b.size,
+            max(64, limit),
+        )
+    )
+    return r if r >= 0 else limit + 1
+
+
 def overlap_identity(overlaps: np.ndarray, readset) -> np.ndarray:
     """1 - ED/max(len) per overlap (reference construct.cc:177-199)."""
     from raven_tpu.io.readset import reverse_complement

@@ -99,6 +99,22 @@ def _pow2_at_least(n: int, lo: int, hi: int) -> int:
     return c
 
 
+def _quarter_at_least(n: int, lo: int, hi: int) -> int:
+    """Smallest m * 2^k >= n with m in {4,5,6,7} (quarter-pow2 steps),
+    clamped to [lo, hi]; plain pow2 below 2^16.
+
+    The big sorts dominate the device stage and scale with the PADDED
+    size — pow2 rounding wastes up to 50% (e.g. 38.3M index entries pad
+    to 2^26 = 67.1M).  Quarter steps cap the waste at 12.5% while
+    keeping every size divisible by 2^14 (the blocked-kernel row width)
+    above 2^16."""
+    if n <= lo or n < (1 << 16):
+        return _pow2_at_least(n, lo, hi)
+    k = max((n - 1).bit_length() - 3, 14)  # m = n/2^k in (4, 8]
+    c = ((n + (1 << k) - 1) >> k) << k
+    return max(lo, min(c, hi))
+
+
 def _split_rc(n: int) -> tuple[int, int]:
     """Factor the pow2 n into [R, C] with R <= C for blocked scans."""
     b = n.bit_length() - 1
@@ -660,7 +676,7 @@ class DeviceIndex:
 
         # 2^28 entries (~800 Mb of bases at w=5 density) verified to sort
         # on a 16 GB v5e; larger index batches fall back to the host path
-        N = _pow2_at_least(max(total, 1), 1 << 12, 1 << 28)
+        N = _quarter_at_least(max(total, 1), 1 << 12, 1 << 28)
         if total > N:
             return None  # beyond the largest supported bucket
         pad_n = N - n_chunks * cap
@@ -757,7 +773,7 @@ class DeviceIndex:
             )
             if n_usable > SAFE_JOIN_ENTRIES:
                 return None  # uint32 pair codes would wrap (see SAFE_JOIN_ENTRIES)
-            M = _pow2_at_least(max(n_usable, 1), 1 << 12, 1 << 27)
+            M = _quarter_at_least(max(n_usable, 1), 1 << 12, 1 << 27)
             if n_usable > M:
                 return None
             jkey, jrid, jpacked, jcounts, suffix = _compact_usable(
@@ -788,7 +804,7 @@ class DeviceIndex:
             suf = int(suffix[d]) if d <= MAX_D else 0
             if suf <= 0:
                 break
-            S = _pow2_at_least(suf, 1 << 12, M)
+            S = _quarter_at_least(suf, 1 << 12, M)
             start = max(0, min(n_usable - suf, M - S))
             if buckets and buckets[-1][0] == S:
                 buckets[-1][1].append(d)
@@ -828,7 +844,12 @@ class DeviceIndex:
             code_parts = None
         t0 = _prof("join.distance_buckets", t0)
         total = sum(int(np.asarray(c).sum()) for c in count_parts)
-        capj = _pow2_at_least(max(total, 1), 1 << 14, 1 << 30)
+        # above one slab, capj must be a RECON_SLAB multiple so the slab
+        # walk tiles it exactly (n_slabs * L == capj)
+        if total <= RECON_SLAB:
+            capj = _pow2_at_least(max(total, 1), 1 << 14, RECON_SLAB)
+        else:
+            capj = min(-(-total // RECON_SLAB) * RECON_SLAB, 1 << 30)
         if total > capj:
             return None  # > 2^30 matches: beyond any supported bucket
 
@@ -1040,7 +1061,7 @@ class PartitionedIndex:
             if (counts > cap).any():
                 return None  # compaction would clip real entries
             total = int(counts.sum())
-            N = _pow2_at_least(max(total, 1), 1 << 12, 1 << 28)
+            N = _quarter_at_least(max(total, 1), 1 << 12, 1 << 28)
             if total > N:
                 return None
             pad_n = N - n_chunks * cap
