@@ -261,6 +261,58 @@ def main() -> int:
     if not device_ok:
         cold = steady = host["wall"]
 
+    # ---- polish throughput (BASELINE.md row 2: POA bases polished/s/chip)
+    # Window bank matches bench_polish.py; the host baseline is the native
+    # C++ POA engine single-threaded, scaled linearly to 16 threads (racon
+    # windows are embarrassingly parallel, so linear is the strongest
+    # honest baseline).  RAVEN_BENCH_POLISH=0 skips (overlap-only run).
+    polish_fields = {}
+    if os.environ.get("RAVEN_BENCH_POLISH", "1") != "0":
+        try:
+            import bench_polish
+
+            rng = np.random.default_rng(21)
+            n_win = int(os.environ.get("RAVEN_BENCH_POLISH_WINDOWS", 512))
+            windows, polish_bases = bench_polish.make_windows(
+                n_win, 500, 30, rng
+            )
+            from raven_tpu.ops.poa import poa_consensus
+
+            t0 = time.perf_counter()
+            for b, f, w in windows[:64]:
+                poa_consensus(b, f, w, trim=False)
+            host_rate_1t = 64 * 500 / (time.perf_counter() - t0)
+            log(f"polish host POA (1 thread): {host_rate_1t:,.0f} bases/s")
+            polish_rate = host_rate_1t
+            engine = "host_poa_1t"
+            if device_ok:
+                from raven_tpu.ops.consensus_device import (
+                    device_window_consensus,
+                )
+
+                # production default: anchored banded NW
+                bwin = [
+                    (b, f, w, [(0, len(b))] * len(f)) for b, f, w in windows
+                ]
+                t0 = time.perf_counter()
+                device_window_consensus(bwin, iterations=2, banded=True)
+                log(f"polish device warmup {time.perf_counter() - t0:.1f}s")
+                t0 = time.perf_counter()
+                device_window_consensus(bwin, iterations=2, banded=True)
+                polish_rate = polish_bases / (time.perf_counter() - t0)
+                engine = "device_banded_nw"
+                log(f"polish device (banded): {polish_rate:,.0f} bases/s")
+            polish_fields = {
+                "polish_bases_per_s_per_chip": round(polish_rate),
+                "polish_vs_16thread_equiv": round(
+                    polish_rate / (host_rate_1t * 16), 3
+                ),
+                "polish_engine": engine,
+                "polish_host_1t_bases_per_s": round(host_rate_1t),
+            }
+        except Exception as e:  # noqa: BLE001
+            log(f"polish measurement failed ({e}); omitting polish fields")
+
     print(
         json.dumps(
             {
@@ -304,6 +356,7 @@ def main() -> int:
                     "vs_baseline movement; the device bases/s value is "
                     "the stable cross-round metric"
                 ),
+                **polish_fields,
             }
         )
     )

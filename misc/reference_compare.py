@@ -55,10 +55,15 @@ def simulate_reads(
     sub: float,
     ins: float,
     dele: float,
+    truth_out: list | None = None,
 ):
     """ONT-like read simulator with substitutions AND indels (the conftest
     simulator is substitution-only; polish quality is meaningless without
-    indels since POA exists to fix them)."""
+    indels since POA exists to fix them).
+
+    truth_out, when given, receives one (start, end, strand) genome
+    coordinate triple per read (rng consumption is unchanged, so results
+    stay byte-identical with or without it)."""
     G = genome.size
     n_reads = int(G * coverage / mean_len)
     reads = []
@@ -86,21 +91,31 @@ def simulate_reads(
             out[src_idx] = codes
             out[dst] = rng.integers(0, 4, size=n_ins).astype(np.uint8)
             codes = out
-        if rng.integers(0, 2):
+        strand = int(rng.integers(0, 2))
+        if strand:
             codes = (codes[::-1] ^ 3).astype(np.uint8)
         reads.append(codes)
+        if truth_out is not None:
+            truth_out.append((start, start + length, strand))
     return reads
 
 
-def make_genome(rng, size: int, repeats: int = 0, repeat_len: int = 0):
+def make_genome(
+    rng, size: int, repeats: int = 0, repeat_len: int = 0,
+    copies_out: list | None = None,
+):
     g = rng.integers(0, 4, size=size).astype(np.uint8)
     if repeats and repeat_len:
         # plant `repeats` extra copies of one segment (repeat machinery
         # stress: pile.cc:230-369 equivalents must break/flag these)
         seg = g[: repeat_len].copy()
+        if copies_out is not None:
+            copies_out.append(0)
         for _ in range(repeats):
             at = int(rng.integers(size // 4, size - repeat_len))
             g[at : at + repeat_len] = seg
+            if copies_out is not None:
+                copies_out.append(at)
     return g
 
 

@@ -6,6 +6,9 @@
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="/root/.axon_site:$PWD"
+# this box HAS the bundled λ dataset: the golden gate must never
+# silently skip here (tests/conftest.py errors if the data vanishes)
+export RAVEN_LAMBDA_REQUIRED=1
 
 probe() {
     timeout 120 python -c "

@@ -37,6 +37,52 @@ MAP_BATCH_BYTES = 1 << 30  # construct.cc:67
 SECOND_PASS_BATCH_BYTES = 1 << 30  # construct.cc:356
 VALID_REGION_COVERAGE = 4  # construct.cc:134
 
+# Unanchored-repeat-read removal (DIVERGENCE from the reference, see
+# resolve_repeat_induced_overlaps): a read lying (almost) entirely
+# inside a multi-copy repeat has no coverage slope (uniform pile), so
+# FindRepetitiveRegions annotates nothing, and its annotations could
+# never be confirmed anyway (confirmation needs an overlap crossing
+# the region FROM unique sequence, pile.cc:319-342) — so
+# CheckRepetitiveRegions can never block its copy-bridging overlaps.
+# What DOES mark such a read is the stage -4 repeat-k-mer trail
+# (pile.cc:64-120 AddKmers): too-frequent minimizers land as pile bin
+# marks, and a read with a unique anchor always keeps a ~2 kb window
+# that is (near-)mark-free, while a fully-repeat read has marks spread
+# across its whole valid region.  Measured on the planted-repeat
+# dataset (misc/repeat_diag.py): the min 128-bin-window mark count is
+# 0 at p99 over valid reads, >= 4 for every misjoin-participating
+# repeat-contained read, and every false graph edge has at least one
+# endpoint above the threshold.  Dropping them breaks contigs at
+# repeat boundaries instead of joining across copies:
+# fragmented-but-correct.  RAVEN_TPU_KEEP_UNANCHORED=1 restores the
+# reference behavior.
+UNANCHORED_WINDOW_BINS = 128  # 2048 bases at kPSS = 4
+UNANCHORED_MAX_MARKS = 2  # stray marks tolerated inside the window
+DROP_UNANCHORED = os.environ.get("RAVEN_TPU_KEEP_UNANCHORED") != "1"
+
+
+def _unanchored_reads(piles) -> list[int]:
+    """Reads whose every UNANCHORED_WINDOW_BINS-bin window of the valid
+    region carries more than UNANCHORED_MAX_MARKS repeat-k-mer marks —
+    i.e. no mark-free unique anchor anywhere (see DROP_UNANCHORED)."""
+    out: list[int] = []
+    win = UNANCHORED_WINDOW_BINS
+    for i, km in piles.kmers.items():
+        if piles.is_invalid[i]:
+            continue
+        lo, hi = int(piles.begin[i]), int(piles.end[i])
+        if hi <= lo:
+            continue
+        m = km[lo:hi].astype(np.int32)
+        if m.size <= win:
+            mn = int(m.sum())
+        else:
+            c = np.cumsum(np.concatenate([[0], m]))
+            mn = int((c[win:] - c[:-win]).min())
+        if mn > UNANCHORED_MAX_MARKS:
+            out.append(int(i))
+    return out
+
 
 def _log(msg: str, t0: float) -> None:
     print(
@@ -369,8 +415,29 @@ def resolve_repeat_induced_overlaps(
     piles: Piles, overlaps: np.ndarray, readset
 ) -> np.ndarray:
     """Stage -4 part 2 (reference construct.cc:493-559): fixed-point loop
-    dropping overlaps blocked by confirmed repeat regions."""
+    dropping overlaps blocked by confirmed repeat regions.
+
+    DIVERGENCE (gated by DROP_UNANCHORED, on by default): reads whose
+    whole valid region is blanketed by repeat-k-mer marks (no ~2 kb
+    mark-free window, see _unanchored_reads) are invalidated up front —
+    the reference keeps them, and because whole-read repeat regions are
+    unconfirmable its check cannot stop them bridging distinct repeat
+    copies (misjoins measured in misc/repeat_diag.py)."""
     t0 = time.perf_counter()
+    n_unanchored = 0
+    if DROP_UNANCHORED and overlaps.size:
+        unanchored = _unanchored_reads(piles)
+        if unanchored:
+            n_unanchored = len(unanchored)
+            drop = np.zeros(piles.n, dtype=bool)
+            drop[np.array(unanchored, dtype=np.int64)] = True
+            piles.is_invalid[np.array(unanchored, dtype=np.int64)] = True
+            overlaps = overlaps[
+                ~(
+                    drop[overlaps["lhs_id"].astype(np.int64)]
+                    | drop[overlaps["rhs_id"].astype(np.int64)]
+                )
+            ]
     while True:
         components = ou.connected_components(overlaps, len(readset), piles)
         for comp in components:
@@ -406,6 +473,8 @@ def resolve_repeat_induced_overlaps(
         for comp in components:
             for i in comp:
                 piles.clear_repetitive_regions(i)
+    if n_unanchored:
+        _log(f"removed {n_unanchored} unanchored repeat reads", t0)
     _log("removed false overlaps", t0)
     return overlaps
 

@@ -121,9 +121,11 @@ if HAS_JAX:
             | (diag + (1 << 30)).astype(jnp.uint32)
         )
         qk = jnp.where(q_id < 0, jnp.int32(I32_INF), q_id)
-        # one global sort = every read's (tid, strand, diagonal) order
-        qs, ts, sds, qp, tp = jax.lax.sort(
-            (qk, t_id, s_d, q_pos, t_pos), num_keys=3
+        # one global sort = every read's (tid, strand, diagonal) order;
+        # t_pos is NOT carried — it is a function of (same, diag, q_pos)
+        # and rebuilt below, one fewer operand in the dominant sort
+        qs, ts, sds, qp = jax.lax.sort(
+            (qk, t_id, s_d, q_pos), num_keys=3
         )
         n = qs.shape[0]
         valid = qs != I32_INF
@@ -131,6 +133,7 @@ if HAS_JAX:
             1 << 30
         )
         same_s = (sds >> 31).astype(jnp.int32)
+        tp = jnp.where(same_s != 0, diag_s + qp, diag_s - qp)
         newg = jnp.concatenate(
             [
                 jnp.ones((1,), bool),
@@ -373,20 +376,24 @@ if HAS_JAX:
         )
 
     @functools.partial(
-        jax.jit, static_argnames=("bucket_ns", "kmer", "with_gid")
+        jax.jit, static_argnames=("bucket_ns", "kmer", "with_gid", "narrow")
     )
     def _chain_lis(anchors, descs, offs, nbs, bucket_ns, kmer,
-                   with_gid=True):
+                   with_gid=True, narrow=False):
         """Stage B (one dispatch): every non-empty size bucket's LIS +
         emission, then the global (gid, piece) sort that reproduces host
         emission order.  bucket_ns: static per-bucket padded group counts
-        (0 = bucket empty).  Returns stacked overlap columns [8|7, cap]
+        (0 = bucket empty).  Returns stacked overlap columns [8|7|4, cap]
         (gid-sorted, sentinel-keyed tail) + the valid count.
 
         with_gid=False drops the gid column from the output (the d2h
         transfer is the chain stage's top cost through the remote
         tunnel); callers that merge host-chained oversize groups by gid
-        must keep it."""
+        must keep it.
+
+        narrow=True (caller guarantees ids and positions+k < 2^16) packs
+        the six id/coordinate columns pairwise into three int32 lanes —
+        the d2h bytes drop ~43% on a ~20 MB/s tunnel."""
         # bucket slices may reach past the descriptor array on small
         # inputs (pow2 row padding): extend with sentinel descriptors
         pad = max(bucket_ns)
@@ -413,6 +420,20 @@ if HAS_JAX:
         # kept when host-chained oversize groups must merge in emission
         # order)
         lead = (srt[0],) if with_gid else ()
+        if narrow:
+            pk = lambda hi, lo: (hi << 16) | (lo & jnp.int32(0xFFFF))
+            return (
+                jnp.stack(
+                    lead
+                    + (
+                        pk(srt[2], srt[3]),
+                        pk(srt[4], srt[5]),
+                        pk(srt[6], srt[7]),
+                        srt[8],
+                    )
+                ),
+                count,
+            )
         return jnp.stack(lead + srt[2:]), count
 
     @functools.partial(jax.jit, static_argnames=("take",))
@@ -477,10 +498,22 @@ def chain_oversize_groups_host(
 
 def _assemble_overlaps(cols, count, host_rows=None, host_gids=None):
     """Build the {read_id: overlaps} dict from device chain columns
-    (emission-ordered; gid-led 8-col layout or gid-less 7-col layout,
-    cnt and same packed in one lane), merging host-chained oversize
-    groups at their gid rank."""
-    if len(cols) == 8:
+    (emission-ordered; gid-led 8-col or gid-less 7-col wide layout, or
+    the `narrow` 5/4-col layout with id/coordinate pairs packed into
+    int32 lanes; cnt and same packed in one lane), merging host-chained
+    oversize groups at their gid rank."""
+    if len(cols) in (4, 5):
+        gid = cols[0] if len(cols) == 5 else None
+        p_it, p_le, p_re, cs = cols[-4:]
+
+        def unpk(x):
+            u = np.asarray(x).astype(np.int32).view(np.uint32)
+            return (u >> 16).astype(np.int64), (u & 0xFFFF).astype(np.int64)
+
+        qid, tid = unpk(p_it)
+        lhs_b, lhs_e = unpk(p_le)
+        rhs_b, rhs_e = unpk(p_re)
+    elif len(cols) == 8:
         gid, qid, tid, lhs_b, lhs_e, rhs_b, rhs_e, cs = cols
     else:
         qid, tid, lhs_b, lhs_e, rhs_b, rhs_e, cs = cols
@@ -508,12 +541,13 @@ def _assemble_overlaps(cols, count, host_rows=None, host_gids=None):
     return out
 
 
-def chain_from_prepared(prepared, k):
+def chain_from_prepared(prepared, k, narrow=False):
     """Finish chaining from _chain_prepare/_prepare_core outputs: size
     bucketing, the LIS dispatch, host assembly of the per-read overlap
     dict.  Groups beyond the top size bucket are chained per-group on the
     host and merged back in emission order — the rest of the batch stays
-    on device."""
+    on device.  narrow=True: ids and positions+k fit 2^16 (caller
+    checked), pack the d2h columns pairwise."""
     anchors, descs, n_per_bucket, max_size = prepared
     n_per_bucket = np.asarray(n_per_bucket)
     n_over = int(n_per_bucket[len(BUCKETS)])
@@ -550,6 +584,7 @@ def chain_from_prepared(prepared, k):
         bucket_ns,
         int(k),
         with_gid=with_gid,
+        narrow=bool(narrow),
     )
     count = int(count)
     t0 = _chprof("chain.lis", t0)

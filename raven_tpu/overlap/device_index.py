@@ -58,6 +58,16 @@ def _prof(label: str, t0: float) -> float:
         )
     return t1
 
+
+def _prof_size(label: str, **sizes) -> None:
+    if _PROF:
+        print(
+            "[raven_tpu::prof] size " + label + " "
+            + " ".join(f"{k}={v}" for k, v in sizes.items()),
+            file=sys.stderr,
+            flush=True,
+        )
+
 try:
     import jax
     import jax.numpy as jnp
@@ -485,26 +495,63 @@ if HAS_JAX:
             codes_s = jax.lax.sort(codes.reshape(R, C), dimension=1)
             rowcounts = mask.reshape(R, C).sum(axis=1, dtype=jnp.int32)
             overflow = (rowcounts > capr).any()
-            return None, (codes_s[:, :capr].reshape(-1), count, overflow)
+            # prefix-compact the kept rows inside the kernel (sequential
+            # dynamic updates at cumulative row counts; each row's INF
+            # tail is overwritten by the next row) so the downstream
+            # flatten needs NO global sort — at shift 2 the padded code
+            # stream is ~10x the real pair count (95.3M sorted for 9.7M
+            # pairs on the 115 Mbp bench), and that sort dominated
+            # join.finish
+            rows_kept = codes_s[:, :capr]
+            buf0 = jnp.full((capd + capr,), jnp.uint32(0xFFFFFFFF))
+
+            def wr(carry, xs):
+                buf, off = carry
+                row, cnt = xs
+                buf = jax.lax.dynamic_update_slice(buf, row, (off,))
+                return (buf, off + jnp.minimum(cnt, capr)), None
+
+            (buf, _), _ = jax.lax.scan(
+                wr, (buf0, jnp.int32(0)), (rows_kept, rowcounts)
+            )
+            return None, (buf[:capd], count, overflow)
 
         _, (codes, count, overflow) = jax.lax.scan(
             one_distance, None, (ds, starts)
         )
         return codes.reshape(-1), count, overflow
 
-    @functools.partial(jax.jit, static_argnames=("capj",))
-    def _join_flatten_concat(code_parts, capj):
-        """Flatten variable-size per-distance code buffers into one dense
-        stream (second-level sort compaction).  The output is exactly capj
-        long — sentinel-padded when the concat is shorter — so the
-        reconstruction slab walk never hits a dynamic_slice start clamp
-        (which would silently return entries from the wrong offset)."""
-        (codes_s,) = jax.lax.sort(
-            (jnp.concatenate(code_parts),), num_keys=1
+    def _join_flatten_fast(code_parts, count_parts, capj):
+        """Dense compaction of the per-distance code buffers WITHOUT a
+        global sort: each distance's capd-window arrives prefix-compacted
+        (see _join_distances_bucket), so an ascending chain of dynamic
+        updates at traced cumulative-count offsets compacts everything —
+        each window writes its full extent and the next write overwrites
+        the previous INF tail.  Replaces the old sort-based flatten
+        (95.3M u32 sorted for 9.7M real pairs at the 115 Mbp bench).
+        The output is exactly capj long, INF-padded, so the slab walk
+        never hits a dynamic_slice start clamp.  Codes are only blockwise
+        ascending (not globally sorted) — group formation and chaining
+        are order-invariant: _prepare_core's sort is fully keyed and
+        _bucket_overlaps re-sorts members by (q_pos, t_pos)."""
+        slack = max(
+            int(p.shape[0]) // int(c.shape[0])
+            for p, c in zip(code_parts, count_parts)
         )
-        n = min(codes_s.shape[0], capj)
-        out = jnp.full((capj,), jnp.uint32(0xFFFFFFFF))
-        return out.at[:n].set(codes_s[:n])
+        out = jnp.full((capj + slack,), jnp.uint32(0xFFFFFFFF))
+        off = jnp.int32(0)
+        for part, cnts in zip(code_parts, count_parts):
+            nd = int(cnts.shape[0])
+            capd = int(part.shape[0]) // nd
+            for d in range(nd):
+                win = jax.lax.slice_in_dim(part, d * capd, (d + 1) * capd)
+                out = jax.lax.dynamic_update_slice(out, win, (off,))
+                off = off + jnp.minimum(cnts[d], jnp.int32(capd))
+        return out[:capj]
+
+    _flatten_recon_jit = functools.partial(
+        jax.jit, static_argnames=("capj",)
+    )(_join_flatten_fast)
 
     # pair/entry reconstruction runs in fixed slabs: a single gather over
     # the whole compacted stream at full index size is exactly the
@@ -514,14 +561,16 @@ if HAS_JAX:
     @functools.partial(
         jax.jit, static_argnames=("capj", "n_slabs", "n_buckets")
     )
-    def _join_finish(code_parts, rid, packed, capj, n_slabs, n_buckets):
+    def _join_finish(
+        code_parts, count_parts, rid, packed, capj, n_slabs, n_buckets
+    ):
         """Flatten + reconstruct + chain-prepare in ONE dispatch (each
         round trip through the remote tunnel costs ~0.3 s).  Returns the
         reconstructed match columns (for the host-chain fallback) plus
         the chain-prepare outputs (see ops/chain_device._prepare_core)."""
         from raven_tpu.ops.chain_device import _prepare_core
 
-        codes = _join_flatten_concat(code_parts, capj)
+        codes = _join_flatten_fast(code_parts, count_parts, capj)
         L = min(RECON_SLAB, capj)
         rows = codes[: n_slabs * L].reshape(n_slabs, L)
         cols = _join_reconstruct_scan(rows, rid, packed)
@@ -679,7 +728,18 @@ class DeviceIndex:
         N = _quarter_at_least(max(total, 1), 1 << 12, 1 << 28)
         if total > N:
             return None  # beyond the largest supported bucket
+        _prof_size("build", total=total, N=N, S=S, chunk=chunk, cap=cap)
         pad_n = N - n_chunks * cap
+        if pad_n < 0:
+            # n_chunks * cap > N needs NO pre-compaction sort: finalize's
+            # own key sort moves every sentinel (UINT32_INF key) past the
+            # `total` real entries, so slicing its output to N afterwards
+            # is lossless — the sorts below just run at n_chunks * cap
+            # (~25% wider, one whole 3-column sort cheaper).  Pad only up
+            # to the blocked-scan tile (2^14) the flags kernel requires.
+            tile = 1 << 14
+            full = n_chunks * cap
+            pad_n = -(-full // tile) * tile - full
         if pad_n > 0:
             key = jnp.concatenate(
                 [key, jnp.full((pad_n,), UINT32_INF, jnp.uint32)]
@@ -688,11 +748,6 @@ class DeviceIndex:
                 [rid, jnp.full((pad_n,), _INVALID_RID, jnp.int32)]
             )
             packed = jnp.concatenate([packed, jnp.zeros((pad_n,), jnp.int32)])
-        if pad_n < 0:  # n_chunks * cap > N: re-compact through one sort
-            key, rid, packed = jax.lax.sort(
-                (key, rid, packed), num_keys=1
-            )
-            key, rid, packed = key[:N], rid[:N], packed[:N]
 
         need_flags = bool(minhash or with_flags)
         budget = (
@@ -703,6 +758,8 @@ class DeviceIndex:
             jnp.zeros(budget.shape[0], jnp.int32), bool(need_flags),
             bool(minhash),
         )
+        if key.shape[0] > N:
+            key, rid, packed = key[:N], rid[:N], packed[:N]
         n_valid = int(n_valid)
         _prof("build.finalize", t0)
         return cls(key, rid, packed, n_valid, need_flags, k, w)
@@ -735,6 +792,7 @@ class DeviceIndex:
         filtered_out: dict | None = None,
         chain_k: int | None = None,
         device_cols: bool = False,
+        narrow: bool = False,
     ):
         """Self-join matches (q_id, q_pos, t_id, t_pos, same) as numpy
         arrays, exactly the host selfjoin.distance_join contract; None on
@@ -844,6 +902,13 @@ class DeviceIndex:
             code_parts = None
         t0 = _prof("join.distance_buckets", t0)
         total = sum(int(np.asarray(c).sum()) for c in count_parts)
+        _prof_size(
+            "join",
+            n_usable=n_usable,
+            M=M,
+            sum_capd=sum(int(c.shape[0]) for c in code_parts),
+            total=total,
+        )
         # above one slab, capj must be a RECON_SLAB multiple so the slab
         # walk tiles it exactly (n_slabs * L == capj)
         if total <= RECON_SLAB:
@@ -867,16 +932,20 @@ class DeviceIndex:
                 )
 
                 dev_cols, prepared = _join_finish(
-                    code_parts, jrid, jpacked, capj, n_slabs,
-                    len(BUCKETS),
+                    code_parts, count_parts, jrid, jpacked, capj,
+                    n_slabs, len(BUCKETS),
                 )
                 if _PROF:
                     jax.block_until_ready(prepared)
                 t0 = _prof("join.finish", t0)
-                res = chain_from_prepared(prepared, chain_k)
+                res = chain_from_prepared(
+                    prepared, chain_k, narrow=narrow
+                )
                 t0 = _prof("join.chain", t0)
             else:
-                codes = _join_flatten_concat(code_parts, capj)
+                codes = _flatten_recon_jit(
+                    code_parts, count_parts, capj
+                )
                 rows = codes[: n_slabs * L].reshape(n_slabs, L)
                 dev_cols = _join_reconstruct_scan(rows, jrid, jpacked)
         if device_cols:
@@ -1134,6 +1203,7 @@ class PartitionedIndex:
         need_flags: bool,
         filtered_out: dict | None = None,
         chain_k: int | None = None,
+        narrow: bool = False,
     ):
         """Per-partition self-joins; match columns concatenate on device
         (runs never cross partitions, so the union is exact) and chaining
@@ -1190,7 +1260,7 @@ class PartitionedIndex:
                 cat[4].astype(jnp.int32),
                 len(BUCKETS),
             )
-            return chain_from_prepared(prepared, chain_k)
+            return chain_from_prepared(prepared, chain_k, narrow=narrow)
         q_id = np.asarray(cat[0])
         valid = q_id >= 0
         return (

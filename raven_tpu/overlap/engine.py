@@ -145,6 +145,15 @@ class MinimizerIndex:
         self._minhash = bool(minhash)
         self._qflag = None
         self._device = None
+        # chain d2h narrow packing is safe when every id and every
+        # position + k fits 16 bits (chain_device._chain_lis narrow=True)
+        self._narrow = bool(
+            len(readset) < (1 << 16)
+            and (
+                ids.size == 0
+                or int(readset.lengths[ids].max()) + self.k < (1 << 16)
+            )
+        )
 
         if self._device_build(readset, ids, minhash, with_query_flags):
             return
@@ -374,6 +383,7 @@ class MinimizerIndex:
                 need_flags=(minhash and not self._minhash),
                 filtered_out=collect,
                 chain_k=chain_k,
+                narrow=getattr(self, "_narrow", False),
             )
             if isinstance(matches, dict):  # chained on device
                 if collect:

@@ -857,6 +857,7 @@ class ShardedIndex:
         need_flags: bool,
         filtered_out: dict | None = None,
         chain_k: int | None = None,
+        narrow: bool = False,  # accepted for DeviceIndex signature parity
     ):
         """Sharded self-join; same contract as DeviceIndex.distance_join
         (None on capacity overflow -> caller falls back).  With chain_k

@@ -164,18 +164,31 @@ def test_join_flatten_pads_to_capj():
     """The flattened code stream must be exactly capj long (sentinel
     padded): the reconstruction slab walk dynamic-slices at multiples of
     RECON_SLAB, and a shorter stream would clamp the last slab's start and
-    decode entries from the wrong offset."""
+    decode entries from the wrong offset.  The sort-free flatten takes
+    per-distance PREFIX-compacted windows (valid codes first) plus their
+    counts and must compact them densely via the INF-tail-overwrite
+    chain of dynamic updates."""
+    import jax.numpy as jnp
+
     from raven_tpu.overlap import device_index as di
 
+    INF = 0xFFFFFFFF
+    # two buckets: first has 2 distance windows (capd=4), second 1 (capd=2)
     parts = [
-        np.array([5, 1, 0xFFFFFFFF], dtype=np.uint32),
-        np.array([3], dtype=np.uint32),
+        jnp.asarray(
+            np.array([1, 5, INF, INF, 3, INF, INF, INF], dtype=np.uint32)
+        ),
+        jnp.asarray(np.array([7, 9], dtype=np.uint32)),
+    ]
+    counts = [
+        jnp.asarray(np.array([2, 1], dtype=np.int32)),
+        jnp.asarray(np.array([2], dtype=np.int32)),
     ]
     capj = 1 << 14
-    out = np.asarray(di._join_flatten_concat([np.asarray(p) for p in parts], capj))
+    out = np.asarray(di._flatten_recon_jit(parts, counts, capj))
     assert out.shape == (capj,)
-    assert out[:3].tolist() == [1, 3, 5]
-    assert (out[3:] == 0xFFFFFFFF).all()
+    assert out[:5].tolist() == [1, 5, 3, 7, 9]
+    assert (out[5:] == INF).all()
 
 
 def test_pair_code_domain_bound():

@@ -234,3 +234,38 @@ def test_repetitive_region_batch_matches_scalar(rng):
     )
     batch = piles_b.check_repetitive_regions_batch(ids, begins, ends)
     assert np.array_equal(batch, scalar)
+
+
+def test_unanchored_reads_window_detector():
+    """construct._unanchored_reads: a read whose valid region has no
+    (near-)mark-free 128-bin window is unanchored; any read with a clean
+    2 kb stretch keeps its anchor (the repeat-misjoin divergence,
+    misc/repeat_diag.py calibration)."""
+    from raven_tpu.graph.construct import (
+        UNANCHORED_MAX_MARKS,
+        UNANCHORED_WINDOW_BINS,
+        _unanchored_reads,
+    )
+    from raven_tpu.pile.pile import Piles
+
+    L = 512 * 16  # 512 bins per read
+    piles = Piles(np.array([L, L, L, L], dtype=np.int64))
+    win = UNANCHORED_WINDOW_BINS
+
+    # read 0: marks everywhere (every 8th bin) -> unanchored
+    m0 = np.zeros(513, dtype=bool)
+    m0[::8] = True
+    piles.kmers[0] = m0
+    # read 1: marked first half, clean second half -> anchored
+    m1 = np.zeros(513, dtype=bool)
+    m1[: 256 : 4] = True
+    piles.kmers[1] = m1
+    # read 2: exactly the tolerated stray marks per window -> anchored
+    m2 = np.zeros(513, dtype=bool)
+    m2[:: win // UNANCHORED_MAX_MARKS] = True
+    piles.kmers[2] = m2
+    # read 3: dense marks but read invalid -> skipped
+    piles.kmers[3] = m0.copy()
+    piles.is_invalid[3] = True
+
+    assert _unanchored_reads(piles) == [0]
