@@ -31,6 +31,43 @@ except Exception:  # pragma: no cover
 
 UINT32_INF = np.uint32(0xFFFFFFFF)
 
+# Segment rows of one read never cross a multiple-of-CHUNK_ALIGN row
+# boundary (pad rows fill the gap).  The device index sketches in chunks
+# of at most CHUNK_ALIGN rows (device_index._chunk_sketch_compact), and
+# read-aligned chunks let it compute per-read minhash ranks INSIDE the
+# chunk pass — the separate full-index (read, hash, pos) flags sort was
+# the build's single largest cost.  Waste: <= a few rows per boundary
+# (reads are ~5 rows), < 0.1%.
+CHUNK_ALIGN = 8192
+
+
+def align_row_starts(segs: np.ndarray, align: int = CHUNK_ALIGN):
+    """Row start per read such that no read's rows cross a
+    multiple-of-`align` row boundary.  Returns (starts [n] int64,
+    total_rows).  Reads longer than align rows (~16.6 Gb at width 2048)
+    are unsupported."""
+    segs = np.asarray(segs, dtype=np.int64)
+    n = segs.size
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), 0
+    assert int(segs.max(initial=0)) <= align, "read exceeds one chunk"
+    c = np.cumsum(segs)
+    starts_un = c - segs
+    pad_at = np.zeros(n, dtype=np.int64)
+    off = 0
+    b_end = align
+    total = int(c[-1])
+    while b_end < total + off:
+        j = int(np.searchsorted(c, b_end - off, side="left"))
+        if j >= n:
+            break
+        if int(starts_un[j]) + off < b_end < int(c[j]) + off:
+            pad = b_end - (int(starts_un[j]) + off)
+            pad_at[j] += pad
+            off += pad
+        b_end += align
+    return starts_un + np.cumsum(pad_at), total + off
+
 
 def segment_reads(
     readset, ids: np.ndarray, k: int, w: int, width: int = 2048
@@ -45,11 +82,18 @@ def segment_reads(
     assert stride > 0
     rows = []
     meta = []
+    pad_meta = (0, 0, 0, 0, 0)  # eff 0 -> every entry masked out
     for i in ids:
         i = int(i)
         n = int(readset.lengths[i])
         if n < k + w - 1:
             continue
+        segs = 1 + max(0, -(-(n - width) // stride))
+        used = len(rows) % CHUNK_ALIGN
+        if used + segs > CHUNK_ALIGN:  # read would straddle a chunk edge
+            for _ in range(CHUNK_ALIGN - used):
+                rows.append(np.zeros(0, dtype=np.uint8))
+                meta.append(pad_meta)
         s = 0
         seg_idx = 0
         while True:
@@ -112,15 +156,18 @@ def segment_reads_packed(
             0,
             1 + np.maximum(0, -(-(n - width) // stride)),
         ).astype(np.int64)
-        row_off = np.zeros(ids.size + 1, dtype=np.int64)
-        np.cumsum(segs, out=row_off[1:])
-        S = int(row_off[-1])
-        packed = np.empty((S, width // 4), dtype=np.uint8)
-        eff = np.empty(S, dtype=np.int32)
-        rid = np.empty(S, dtype=np.int32)
-        base = np.empty(S, dtype=np.int32)
-        clo = np.empty(S, dtype=np.int32)
-        chi = np.empty(S, dtype=np.int32)
+        row_starts, S = align_row_starts(segs)
+        row_off = np.empty(ids.size + 1, dtype=np.int64)
+        row_off[: ids.size] = row_starts
+        row_off[ids.size] = S
+        # gap (alignment pad) rows are never touched by the native pass:
+        # zero-init everything — eff 0 masks every entry of a pad row
+        packed = np.zeros((S, width // 4), dtype=np.uint8)
+        eff = np.zeros(S, dtype=np.int32)
+        rid = np.zeros(S, dtype=np.int32)
+        base = np.zeros(S, dtype=np.int32)
+        clo = np.zeros(S, dtype=np.int32)
+        chi = np.zeros(S, dtype=np.int32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i64p = ctypes.POINTER(ctypes.c_int64)
         i32p = ctypes.POINTER(ctypes.c_int32)

@@ -160,10 +160,12 @@ if HAS_JAX:
         return jnp.minimum(row, carry[:, None]).reshape(-1)
 
     @functools.partial(
-        jax.jit, static_argnames=("k", "w", "use_pallas", "cap")
+        jax.jit,
+        static_argnames=("k", "w", "use_pallas", "cap", "with_flags"),
     )
     def _chunk_sketch_compact(
-        codes, eff, rids, base, clo, chi, k, w, use_pallas, cap
+        codes, eff, rids, base, clo, chi, budget_tbl, k, w, use_pallas,
+        cap, with_flags,
     ):
         """Sketch ALL segment chunks in one dispatch (lax.scan over the
         leading chunk axis — the per-chunk dispatches each paid a ~0.3 s
@@ -174,7 +176,16 @@ if HAS_JAX:
 
         codes arrive 2-bit packed (4 bases/byte, [.., width/4] uint8) and
         unpack on device — the h2d transfer of the base codes was the
-        build's largest cost through the tunnel."""
+        build's largest cost through the tunnel.
+
+        with_flags=True computes the minhash-subset flag IN-CHUNK: the
+        segment packer aligns reads to chunk boundaries (CHUNK_ALIGN),
+        so sorting the chunk by (rid, key, pos<<1|strand) yields every
+        read's complete entry list in (hash, pos)-ascending order — the
+        read's budget-smallest entries (minimizer.py:102-109, ties by
+        position exactly like the host argsort) are flagged without the
+        full-index (rid, key, pos) sort that used to dominate finalize.
+        The chunk sort gains two tiebreak keys but no extra operand."""
 
         def one_chunk(_, ch):
             cp, ef, ri, ba, cl, ch_hi = ch
@@ -188,12 +199,40 @@ if HAS_JAX:
             valid = key != UINT32_INF
             count = valid.sum(dtype=jnp.int32)
             rid = jnp.where(valid, ids, _INVALID_RID)
-            packed = jnp.where(valid, pos | (sb << _STRAND_BIT), 0).astype(
-                jnp.int32
+            if not with_flags:
+                packed = jnp.where(
+                    valid, pos | (sb << _STRAND_BIT), 0
+                ).astype(jnp.int32)
+                key_s, rid_s, packed_s = jax.lax.sort(
+                    (key, rid, packed), num_keys=1
+                )
+                return None, (
+                    key_s[:cap], rid_s[:cap], packed_s[:cap], count
+                )
+            pos1 = jnp.where(valid, (pos << 1) | sb, 0).astype(jnp.int32)
+            rid_s, key_s, pos1_s = jax.lax.sort(
+                (rid, key, pos1), num_keys=3
             )
-            key_s, rid_s, packed_s = jax.lax.sort(
-                (key, rid, packed), num_keys=1
+            n = rid_s.shape[0]
+            idx = jnp.arange(n, dtype=jnp.int32)
+            newread = jnp.concatenate(
+                [jnp.ones((1,), bool), rid_s[1:] != rid_s[:-1]]
             )
+            start = _blocked_cummax(
+                jnp.where(newread, idx, jnp.int32(-1))
+            )
+            rid_c = jnp.clip(rid_s, 0, budget_tbl.shape[0] - 1)
+            flag = (
+                (idx - start < budget_tbl[rid_c])
+                & (rid_s != _INVALID_RID)
+            )
+            packed_s = (
+                (pos1_s >> 1)
+                | ((pos1_s & 1) << _STRAND_BIT)
+                | (flag.astype(jnp.int32) << _FLAG_BIT)
+            )
+            # valid entries occupy a dense prefix: the sort is rid-major
+            # and every invalid entry carries rid == _INVALID_RID (max)
             return None, (key_s[:cap], rid_s[:cap], packed_s[:cap], count)
 
         _, (keys, rids_o, packeds, counts) = jax.lax.scan(
@@ -695,9 +734,11 @@ class DeviceIndex:
             return None
         chunk = _pow2_at_least(S, 256, 8192)
         n_chunks = (S + chunk - 1) // chunk
-        # per-chunk compaction capacity: minimizer density is ~2/(w+1);
-        # 45% gives generous headroom and the true count is checked below
-        cap = max(256, int(chunk * SEG_WIDTH * 0.45) // 256 * 256)
+        need_flags = bool(minhash or with_flags)
+        budget = (
+            np.asarray(readset.lengths, dtype=np.int64) // k
+        ).astype(np.int32)
+        budget_dev = jnp.asarray(budget)
         # stack the segment arrays [n_chunks, chunk, ...] and sketch every
         # chunk in ONE device dispatch (scan inside _chunk_sketch_compact)
         S_pad = n_chunks * chunk
@@ -711,15 +752,25 @@ class DeviceIndex:
         if _PROF:
             jax.block_until_ready(args)
         t0 = _prof("build.h2d_upload", t0)
-        key, rid, packed, counts_dev = _chunk_sketch_compact(
-            *args, k, w, use_pallas, cap
-        )
-        if _PROF:
-            jax.block_until_ready(key)
-        t0 = _prof("build.sketch_compact", t0)
-        counts = [int(c) for c in np.asarray(counts_dev)]
-        t0 = _prof("build.counts_d2h", t0)
-        if any(c > cap for c in counts):
+        # per-chunk compaction capacity ladder: robust winnowing density
+        # is ~2/(w+1) (measured 0.30 at w=5 on the 115 Mbp bench) — the
+        # tight cap shrinks every downstream sort; rare dense batches
+        # retry at the generous cap (true counts checked below)
+        for density in (0.35, 0.45):
+            cap = max(
+                256, int(chunk * SEG_WIDTH * density) // 256 * 256
+            )
+            key, rid, packed, counts_dev = _chunk_sketch_compact(
+                *args, budget_dev, k, w, use_pallas, cap, need_flags
+            )
+            if _PROF:
+                jax.block_until_ready(key)
+            t0 = _prof("build.sketch_compact", t0)
+            counts = [int(c) for c in np.asarray(counts_dev)]
+            t0 = _prof("build.counts_d2h", t0)
+            if all(c <= cap for c in counts):
+                break
+        else:
             return None  # compaction would clip real entries
         total = sum(counts)
 
@@ -731,15 +782,12 @@ class DeviceIndex:
         _prof_size("build", total=total, N=N, S=S, chunk=chunk, cap=cap)
         pad_n = N - n_chunks * cap
         if pad_n < 0:
-            # n_chunks * cap > N needs NO pre-compaction sort: finalize's
-            # own key sort moves every sentinel (UINT32_INF key) past the
+            # n_chunks * cap > N needs NO pre-compaction sort: the final
+            # key sort moves every sentinel (UINT32_INF key) past the
             # `total` real entries, so slicing its output to N afterwards
-            # is lossless — the sorts below just run at n_chunks * cap
-            # (~25% wider, one whole 3-column sort cheaper).  Pad only up
-            # to the blocked-scan tile (2^14) the flags kernel requires.
-            tile = 1 << 14
-            full = n_chunks * cap
-            pad_n = -(-full // tile) * tile - full
+            # is lossless.  Flags were computed in-chunk, so finalize is
+            # ONE key sort at n_chunks * cap — no padding needed at all.
+            pad_n = 0
         if pad_n > 0:
             key = jnp.concatenate(
                 [key, jnp.full((pad_n,), UINT32_INF, jnp.uint32)]
@@ -749,14 +797,8 @@ class DeviceIndex:
             )
             packed = jnp.concatenate([packed, jnp.zeros((pad_n,), jnp.int32)])
 
-        need_flags = bool(minhash or with_flags)
-        budget = (
-            np.asarray(readset.lengths, dtype=np.int64) // k
-        ).astype(np.int32)
-        key, rid, packed, n_valid = _finalize_index(
-            key, rid, packed, jnp.asarray(budget),
-            jnp.zeros(budget.shape[0], jnp.int32), bool(need_flags),
-            bool(minhash),
+        key, rid, packed, n_valid = _index_sort(
+            key, rid, packed, drop_unflagged=bool(minhash)
         )
         if key.shape[0] > N:
             key, rid, packed = key[:N], rid[:N], packed[:N]
