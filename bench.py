@@ -53,40 +53,41 @@ def probe_backend(timeout_s: float | None = None) -> str:
     The remote-TPU tunnel can wedge so hard that even backend init never
     returns (observed round 3: `jnp.arange(8).sum()` hangs forever) —
     without this watchdog the whole benchmark hangs and leaves NO
-    artifact for the round.  The default timeout must exceed the
-    per-process tunnel warm-up (measured 171 s on 2026-08-19)."""
-    import threading
-
+    artifact for the round.  The probe runs in a SUBPROCESS: the axon
+    plugin deadlocks when jax initializes from a non-main thread (both
+    r04 threaded probes hung past 600 s while main-thread init took
+    95 s), and a subprocess watchdog also cannot poison this process's
+    jax state.  The default timeout must exceed the per-process tunnel
+    warm-up (measured 95-171 s)."""
     if timeout_s is None:
         timeout_s = float(os.environ.get("RAVEN_BENCH_PROBE_TIMEOUT", 600))
-
-    box: list[str] = []
-
-    def probe():
-        try:
-            import jax
-            import jax.numpy as jnp
-
-            jax.config.update(
-                "jax_compilation_cache_dir", "/root/.cache/raven_tpu_jax"
-            )
-            jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 1.0
-            )
-            name = jax.default_backend()
-            if name != "cpu" and int(jnp.arange(8).sum()) != 28:
-                name = "none"
-            box.append(name)
-        except Exception:
-            box.append("none")
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if not box:
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "jax.config.update('jax_compilation_cache_dir',"
+        " '/root/.cache/raven_tpu_jax');"
+        "name = jax.default_backend();"
+        "ok = name == 'cpu' or int(jnp.arange(8).sum()) == 28;"
+        "print('BACKEND=' + (name if ok else 'none'))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+            env=dict(os.environ),
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("BACKEND="):
+                return line.split("=", 1)[1]
+        log(f"accelerator probe failed: {r.stderr[-500:]}")
+        return "none"
+    except subprocess.TimeoutExpired:
         log(f"accelerator probe did not return within {timeout_s}s")
         return "none"
-    return box[0]
+    except Exception as e:  # noqa: BLE001
+        log(f"accelerator probe error ({e})")
+        return "none"
 
 
 def tpu_alive(timeout_s: float | None = None) -> bool:

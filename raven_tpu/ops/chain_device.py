@@ -170,19 +170,19 @@ if HAS_JAX:
             bidx,
         )
         bkey = jnp.where(is_desc, bidx, jnp.int32(I32_INF))
-        # gid = group rank in global (read, tid, strand, diagonal) order;
-        # the final (gid, piece) sort reproduces host emission order
-        gid = jnp.cumsum(is_desc.astype(jnp.int32)) - 1
-        # bucket-major descriptor sort; within a bucket, global order
-        bkey_s, dstart, dsize, dgid = jax.lax.sort(
+        # group order key = gstart (strictly increasing in the global
+        # (read, tid, strand, diagonal) order), so the final
+        # (gid, piece) sort reproduces host emission order without a
+        # separate rank column — one fewer operand in this sort
+        bkey_s, dstart, dsize = jax.lax.sort(
             (
                 bkey,
                 jnp.where(is_desc, gstart, jnp.int32(I32_INF)),
                 size_d,
-                gid,
             ),
             num_keys=2,
         )
+        dgid = dstart
         # counts per bucket + the oversize pseudo-bucket (last entry)
         n_per_bucket = jnp.stack(
             [

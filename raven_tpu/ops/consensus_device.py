@@ -155,9 +155,12 @@ if HAS_JAX:
         proportional diagonal (wrong for partial-window fragments, e.g.
         read ends).  Work per fragment: T*BW instead of T*(Q+1).
 
-        Returns (moves [T, B, BW] int8, offs [T, B] int32 band starts,
-        end_scores [T, B], row0_score [B]).  Move codes as in
-        nw_moves_kernel; tie-breaks identical within the band.
+        Returns (moves [T, B, BW//16] int32 — move codes PACKED 16 per
+        word, 2 bits each; the unpacked [T, B, BW] int8 matrix was 4x
+        the HBM traffic and move-matrix traffic dominates the consensus
+        wall), offs [T, B] int32 band starts, end_scores [T, B],
+        row0_score [B].  Move codes as in nw_moves_kernel; tie-breaks
+        identical within the band.
         """
         B = cons.shape[0]
         i_idx = jnp.arange(BW, dtype=jnp.int32)
@@ -257,7 +260,14 @@ if HAS_JAX:
                 jnp.int32(NEG),
             )
             off_keep = jnp.where(in_t[:, 0], off_r, off_prev)
-            return (cur, off_keep), (mv, off_keep, end)
+            # pack the 2-bit move codes 16 per int32 word before they
+            # leave the step: the move matrix is the consensus pass's
+            # dominant HBM traffic
+            mvp = mv.astype(jnp.int32).reshape(B, BW // 16, 16)
+            word = (
+                mvp << (2 * jnp.arange(16, dtype=jnp.int32))[None, None, :]
+            ).sum(axis=2)
+            return (cur, off_keep), (word, off_keep, end)
 
         (_, _), (moves, offs, end_scores) = jax.lax.scan(
             step,
@@ -277,9 +287,10 @@ if HAS_JAX:
         T: int, Q: int, BW: int, STEPS: int,
     ):
         """Banded traceback: like traceback_kernel but moves are indexed
-        band-relative via the per-row band starts.  A walk that would
-        leave the band stops defensively (cannot happen on an optimal
-        path: out-of-band predecessors carry NEG scores)."""
+        band-relative via the per-row band starts, and arrive PACKED 16
+        2-bit codes per int32 word (see nw_moves_banded_kernel).  A walk
+        that would leave the band stops defensively (cannot happen on an
+        optimal path: out-of-band predecessors carry NEG scores)."""
         B = q_lens.shape[0]
         rows = jnp.arange(B)
         best_r = jnp.argmax(end_scores, axis=0)
@@ -293,7 +304,9 @@ if HAS_JAX:
             off = offs[t_idx, rows]
             i = j - off
             in_band = (i >= 0) & (i < BW)
-            mv = moves[t_idx, rows, jnp.clip(i, 0, BW - 1)]
+            ic = jnp.clip(i, 0, BW - 1)
+            word = moves[t_idx, rows, ic // 16]
+            mv = ((word >> (2 * (ic % 16))) & 3).astype(jnp.int8)
             mv = jnp.where(t == 0, jnp.int8(2), mv)
             mv = jnp.where(active & in_band, mv, jnp.int8(3))
             dt = jnp.where((mv == 0) | (mv == 1), 1, 0)

@@ -213,8 +213,12 @@ if HAS_JAX:
             rid_s, key_s, pos1_s = jax.lax.sort(
                 (rid, key, pos1), num_keys=3
             )
-            n = rid_s.shape[0]
-            idx = jnp.arange(n, dtype=jnp.int32)
+            # valid entries occupy a dense prefix (the sort is rid-major
+            # and every invalid entry carries rid == _INVALID_RID, the
+            # max id) — so ranks, budgets and flags only need the [cap]
+            # slice, ~3x less scan+gather work than the full chunk
+            rid_s, key_s, pos1_s = rid_s[:cap], key_s[:cap], pos1_s[:cap]
+            idx = jnp.arange(cap, dtype=jnp.int32)
             newread = jnp.concatenate(
                 [jnp.ones((1,), bool), rid_s[1:] != rid_s[:-1]]
             )
@@ -231,9 +235,7 @@ if HAS_JAX:
                 | ((pos1_s & 1) << _STRAND_BIT)
                 | (flag.astype(jnp.int32) << _FLAG_BIT)
             )
-            # valid entries occupy a dense prefix: the sort is rid-major
-            # and every invalid entry carries rid == _INVALID_RID (max)
-            return None, (key_s[:cap], rid_s[:cap], packed_s[:cap], count)
+            return None, (key_s, rid_s, packed_s, count)
 
         _, (keys, rids_o, packeds, counts) = jax.lax.scan(
             one_chunk, None, (codes, eff, rids, base, clo, chi)
@@ -595,7 +597,7 @@ if HAS_JAX:
     # pair/entry reconstruction runs in fixed slabs: a single gather over
     # the whole compacted stream at full index size is exactly the
     # 1e8-element-gather shape that faults this TPU's worker
-    RECON_SLAB = 1 << 22
+    RECON_SLAB = 1 << 21  # finer slabs -> capj tracks `total` within 2M
 
     @functools.partial(
         jax.jit, static_argnames=("capj", "n_slabs", "n_buckets")
@@ -623,27 +625,30 @@ if HAS_JAX:
     def _join_reconstruct_scan(codes_rows, rid, packed):
         """All reconstruction slabs in one dispatch (scan over the slab
         rows; the per-slab gathers stay bounded).  Returns flat columns
-        [n_slabs * L]."""
+        [n_slabs * L].  rid and packed gather as one [N, 2] row table —
+        two row gathers per slab instead of four element gathers."""
+        table = jnp.stack([rid, packed], axis=1)
 
         def body(_, row):
-            return None, _join_reconstruct_slab(row, rid, packed)
+            return None, _join_reconstruct_slab(row, table)
 
         _, cols = jax.lax.scan(body, None, codes_rows)
         return tuple(c.reshape(-1) for c in cols)
 
     @jax.jit
-    def _join_reconstruct_slab(codes, rid, packed):
+    def _join_reconstruct_slab(codes, table):
         """Decode one slab of compacted pair codes into match columns
-        (codes are index-ascending so the gathers are sequential)."""
+        (table = stacked (rid, packed) rows; one row gather serves both
+        columns)."""
         i = (codes // jnp.uint32(MAX_D + 1)).astype(jnp.int32)
         d = (codes % jnp.uint32(MAX_D + 1)).astype(jnp.int32)
         valid = codes != jnp.uint32(0xFFFFFFFF)
         i = jnp.where(valid, i, 0)
         j = jnp.maximum(i - d, 0)
-        rid_i = rid[i]
-        rid_j = rid[j]
-        packed_i = packed[i]
-        packed_j = packed[j]
+        rows_i = table[i]
+        rows_j = table[j]
+        rid_i, packed_i = rows_i[:, 0], rows_i[:, 1]
+        rid_j, packed_j = rows_j[:, 0], rows_j[:, 1]
         i_is_q = rid_i < rid_j
         q_id = jnp.minimum(rid_i, rid_j)
         t_id = jnp.maximum(rid_i, rid_j)
@@ -739,35 +744,61 @@ class DeviceIndex:
             np.asarray(readset.lengths, dtype=np.int64) // k
         ).astype(np.int32)
         budget_dev = jnp.asarray(budget)
-        # stack the segment arrays [n_chunks, chunk, ...] and sketch every
-        # chunk in ONE device dispatch (scan inside _chunk_sketch_compact)
+        # stack the segment arrays [n_chunks, chunk, ...]; the chunks are
+        # dispatched in TWO groups so the second group's h2d transfer
+        # overlaps the first group's sketch+sort (the ~30 MB upload costs
+        # ~1 s through the remote tunnel when serialized)
         S_pad = n_chunks * chunk
-        args = []
+        stacks = []
         for a in (codes, eff, rids, base, clo, chi):
             if S_pad != S:
                 a = np.concatenate(
                     [a, np.zeros((S_pad - S,) + a.shape[1:], dtype=a.dtype)]
                 )
-            args.append(jnp.asarray(a.reshape((n_chunks, chunk) + a.shape[1:])))
-        if _PROF:
-            jax.block_until_ready(args)
+            stacks.append(a.reshape((n_chunks, chunk) + a.shape[1:]))
+        # ~4 groups: only the first group's transfer is exposed; the rest
+        # streams behind the previous group's sketch+sort
+        gsz = max(1, -(-n_chunks // 4))
+        group_slices = [
+            slice(s, min(s + gsz, n_chunks))
+            for s in range(0, n_chunks, gsz)
+        ]
+        dev_groups: list = [None] * len(group_slices)
         t0 = _prof("build.h2d_upload", t0)
         # per-chunk compaction capacity ladder: robust winnowing density
         # is ~2/(w+1) (measured 0.30 at w=5 on the 115 Mbp bench) — the
         # tight cap shrinks every downstream sort; rare dense batches
         # retry at the generous cap (true counts checked below)
         for density in (0.35, 0.45):
+            # 4096-multiple: the in-chunk rank scan blocks on 2^12 rows
             cap = max(
-                256, int(chunk * SEG_WIDTH * density) // 256 * 256
+                4096, int(chunk * SEG_WIDTH * density) // 4096 * 4096
             )
-            key, rid, packed, counts_dev = _chunk_sketch_compact(
-                *args, budget_dev, k, w, use_pallas, cap, need_flags
-            )
+            parts = []
+            for gi, sl in enumerate(group_slices):
+                if dev_groups[gi] is None:
+                    dev_groups[gi] = [jnp.asarray(a[sl]) for a in stacks]
+                parts.append(
+                    _chunk_sketch_compact(
+                        *dev_groups[gi], budget_dev, k, w, use_pallas,
+                        cap, need_flags,
+                    )
+                )
+            if len(parts) == 1:
+                key, rid, packed, counts_dev = parts[0]
+                counts = [int(c) for c in np.asarray(counts_dev)]
+            else:
+                counts = [
+                    int(c)
+                    for p in parts
+                    for c in np.asarray(p[3])
+                ]
+                key = jnp.concatenate([p[0] for p in parts])
+                rid = jnp.concatenate([p[1] for p in parts])
+                packed = jnp.concatenate([p[2] for p in parts])
             if _PROF:
                 jax.block_until_ready(key)
             t0 = _prof("build.sketch_compact", t0)
-            counts = [int(c) for c in np.asarray(counts_dev)]
-            t0 = _prof("build.counts_d2h", t0)
             if all(c <= cap for c in counts):
                 break
         else:
