@@ -291,18 +291,17 @@ def main() -> int:
                     device_window_consensus,
                 )
 
-                # production default: anchored banded NW
-                bwin = [
-                    (b, f, w, [(0, len(b))] * len(f)) for b, f, w in windows
-                ]
+                # production default: full-rectangle NW (the banded
+                # kernel is gather-bound and 23x slower on real TPUs,
+                # see polish/polisher.py)
                 t0 = time.perf_counter()
-                device_window_consensus(bwin, iterations=2, banded=True)
+                device_window_consensus(windows, iterations=2)
                 log(f"polish device warmup {time.perf_counter() - t0:.1f}s")
                 t0 = time.perf_counter()
-                device_window_consensus(bwin, iterations=2, banded=True)
+                device_window_consensus(windows, iterations=2)
                 polish_rate = polish_bases / (time.perf_counter() - t0)
-                engine = "device_banded_nw"
-                log(f"polish device (banded): {polish_rate:,.0f} bases/s")
+                engine = "device_full_nw"
+                log(f"polish device (full NW): {polish_rate:,.0f} bases/s")
             polish_fields = {
                 "polish_bases_per_s_per_chip": round(polish_rate),
                 "polish_vs_16thread_equiv": round(

@@ -108,6 +108,10 @@ if HAS_JAX:
         )
         return moves, end_scores, row0[rows, q_lens]
 
+    _TB_UNROLL = 8  # walk sub-steps per scan iteration (iteration
+    # overhead through XLA's loop machinery measured ~59 us/step; the
+    # sub-steps chain data-dependently inside one iteration)
+
     @functools.partial(jax.jit, static_argnames=("T", "Q", "STEPS"))
     def traceback_kernel(
         moves, end_scores, row0_score, q_lens, T: int, Q: int, STEPS: int
@@ -115,7 +119,8 @@ if HAS_JAX:
         """Walk from the best (t*, q_len) back to column 0.
 
         The walk stops at j == 0 (free consensus prefix).  Returns
-        (path_t, path_q, path_mv) [STEPS, B], reverse order, mv = 3 padding.
+        (path_t, path_q, path_mv) [STEPS, B], reverse order, mv = 3 padding
+        (STEPS rounds up to a _TB_UNROLL multiple).
         """
         B = q_lens.shape[0]
         rows = jnp.arange(B)
@@ -124,8 +129,7 @@ if HAS_JAX:
         best = end_scores[best_r, rows]
         t0 = jnp.where(row0_score >= best, 0, best_r + 1).astype(jnp.int32)
 
-        def step(carry, _):
-            t, j = carry
+        def sub(t, j):
             active = j > 0
             t_idx = jnp.clip(t - 1, 0, T - 1)
             mv = moves[t_idx, rows, j]
@@ -135,10 +139,25 @@ if HAS_JAX:
             dj = jnp.where((mv == 0) | (mv == 2), 1, 0)
             return (t - dt, j - dj), (t, j, mv)
 
+        def step(carry, _):
+            t, j = carry
+            outs = []
+            for _u in range(_TB_UNROLL):
+                (t, j), o = sub(t, j)
+                outs.append(o)
+            return (t, j), tuple(
+                jnp.stack([o[c] for o in outs]) for c in range(3)
+            )
+
+        n_it = -(-STEPS // _TB_UNROLL)
         (_, _), (pt, pq, pmv) = jax.lax.scan(
-            step, (t0, q_lens.astype(jnp.int32)), None, length=STEPS
+            step, (t0, q_lens.astype(jnp.int32)), None, length=n_it
         )
-        return pt, pq, pmv
+        return (
+            pt.reshape(-1, B),
+            pq.reshape(-1, B),
+            pmv.reshape(-1, B),
+        )
 
     @functools.partial(jax.jit, static_argnames=("T", "Q", "BW"))
     def nw_moves_banded_kernel(
@@ -297,8 +316,7 @@ if HAS_JAX:
         best = end_scores[best_r, rows]
         t0 = jnp.where(row0_score >= best, 0, best_r + 1).astype(jnp.int32)
 
-        def step(carry, _):
-            t, j = carry
+        def sub(t, j):
             active = j > 0
             t_idx = jnp.clip(t - 1, 0, T - 1)
             off = offs[t_idx, rows]
@@ -315,10 +333,25 @@ if HAS_JAX:
             j_next = jnp.where(stop, 0, j - dj)
             return (t - dt, j_next), (t, j, mv)
 
+        def step(carry, _):
+            t, j = carry
+            outs = []
+            for _u in range(_TB_UNROLL):
+                (t, j), o = sub(t, j)
+                outs.append(o)
+            return (t, j), tuple(
+                jnp.stack([o[c] for o in outs]) for c in range(3)
+            )
+
+        n_it = -(-STEPS // _TB_UNROLL)
         (_, _), (pt, pq, pmv) = jax.lax.scan(
-            step, (t0, q_lens.astype(jnp.int32)), None, length=STEPS
+            step, (t0, q_lens.astype(jnp.int32)), None, length=n_it
         )
-        return pt, pq, pmv
+        return (
+            pt.reshape(-1, B),
+            pq.reshape(-1, B),
+            pmv.reshape(-1, B),
+        )
 
     @functools.partial(
         jax.jit, static_argnames=("T", "Q", "STEPS", "NWIN", "band")
@@ -369,38 +402,81 @@ if HAS_JAX:
         pt, pq, pmv, cons_runs, frags, wts, win_idx, T, Q, NWIN
     ):
         """Aggregate alignment paths into the per-window vote tables
-        (shared by the full and banded NW paths)."""
-        STEPS, B = pmv.shape
-        mv = pmv.reshape(-1)
-        t = pt.reshape(-1).astype(jnp.int32)
-        q = pq.reshape(-1).astype(jnp.int32)
-        b = jnp.broadcast_to(
-            jnp.arange(B, dtype=jnp.int32), (STEPS, B)
-        ).reshape(-1)
-        w = win_idx[b].astype(jnp.int32)
-        qi = jnp.clip(q - 1, 0, Q - 1)
-        fb = jnp.clip(frags[b, qi], 0, 3)
-        fw = wts[b, qi].astype(jnp.int32)
-        tm1 = jnp.clip(t - 1, 0, T - 1)
+        (shared by the full and banded NW paths).
 
-        # diag votes base fb at t-1; up votes deletion (slot 4) at t-1
-        m_diag = mv == 0
-        m_up = mv == 1
-        col = jnp.where(m_diag, fb, 4)
-        base_idx = (w * T + tm1) * 5 + col
-        base_val = jnp.where(m_diag | m_up, fw, 0)
-        base_votes = (
-            jnp.zeros(NWIN * T * 5, jnp.int32)
-            .at[jnp.where(m_diag | m_up, base_idx, 0)]
-            .add(base_val)
-            .reshape(NWIN, T, 5)
+        The base/cover tables avoid a duplicate-index scatter-add (the
+        single slowest op of the consensus dispatch — XLA serializes
+        colliding updates): an alignment path visits each consensus row
+        at most once, so per-fragment votes scatter with UNIQUE indices
+        (inactive steps land in per-step dump slots), and the
+        per-window reduction is a one-hot MXU matmul over the fragment
+        axis (exact: every count/weight sum stays far below 2^24, the
+        f32 integer limit).  The sparse insertion votes keep the
+        scatter-add (their canonical junctions can collide within a
+        fragment)."""
+        STEPS, B = pmv.shape
+        b2 = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32), (STEPS, B))
+        t2 = pt.astype(jnp.int32)
+        q2 = pq.astype(jnp.int32)
+        qi2 = jnp.clip(q2 - 1, 0, Q - 1)
+        # one gather serves base and weight (quality weights are bytes)
+        fwpack = jnp.clip(frags, 0, 3) | (wts.astype(jnp.int32) << 2)
+        pk2 = fwpack[b2, qi2]
+        fb2 = pk2 & 3
+        fw2 = pk2 >> 2
+        tm1_2 = jnp.clip(t2 - 1, 0, T - 1)
+        m_diag2 = pmv == 0
+        m_up2 = pmv == 1
+        valid2 = m_diag2 | m_up2
+
+        # one vote per (fragment, consensus row): packed value
+        # 1 | col<<1 | weight<<4 written by a UNIQUE-index scatter-set
+        s2 = jnp.broadcast_to(
+            jnp.arange(STEPS, dtype=jnp.int32)[:, None], (STEPS, B)
         )
-        cover = (
-            jnp.zeros(NWIN * T, jnp.int32)
-            .at[jnp.where(m_diag | m_up, w * T + tm1, 0)]
-            .add(jnp.where(m_diag | m_up, 1, 0))
-            .reshape(NWIN, T)
+        T2 = T + STEPS
+        slot = jnp.where(valid2, tm1_2, T + s2)
+        col2 = jnp.where(m_diag2, fb2, jnp.int32(4))
+        val2 = jnp.where(valid2, 1 | (col2 << 1) | (fw2 << 4), 0)
+        tbl = (
+            jnp.zeros(B * T2, jnp.int32)
+            .at[(b2 * T2 + slot).reshape(-1)]
+            .set(val2.reshape(-1), unique_indices=True)
+            .reshape(B, T2)[:, :T]
         )
+        has = tbl & 1
+        colv = (tbl >> 1) & 7
+        wv = tbl >> 4
+
+        onehot = (
+            win_idx.astype(jnp.int32)[None, :]
+            == jnp.arange(NWIN, dtype=jnp.int32)[:, None]
+        ).astype(jnp.float32)
+
+        def seg_sum(x):  # [B, T] -> [NWIN, T]
+            return jnp.rint(
+                jax.lax.dot(
+                    onehot,
+                    x.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+            ).astype(jnp.int32)
+
+        base_votes = jnp.stack(
+            [
+                seg_sum(jnp.where(has.astype(bool) & (colv == c), wv, 0))
+                for c in range(5)
+            ],
+            axis=2,
+        )
+        cover = seg_sum(has)
+
+        mv = pmv.reshape(-1)
+        t = t2.reshape(-1)
+        b = b2.reshape(-1)
+        w = win_idx[b].astype(jnp.int32)
+        fb = fb2.reshape(-1)
+        fw = fw2.reshape(-1)
 
         # insertions: first base of each run (reverse-order run boundary),
         # canonicalized to the homopolymer run-start junction

@@ -756,9 +756,9 @@ class DeviceIndex:
                     [a, np.zeros((S_pad - S,) + a.shape[1:], dtype=a.dtype)]
                 )
             stacks.append(a.reshape((n_chunks, chunk) + a.shape[1:]))
-        # ~4 groups: only the first group's transfer is exposed; the rest
+        # ~8 groups: only the first group's transfer is exposed; the rest
         # streams behind the previous group's sketch+sort
-        gsz = max(1, -(-n_chunks // 4))
+        gsz = max(1, -(-n_chunks // 8))
         group_slices = [
             slice(s, min(s + gsz, n_chunks))
             for s in range(0, n_chunks, gsz)

@@ -443,12 +443,17 @@ class Polisher:
                 kwargs = {}
                 if dc is not None and dc.poa_batches > 0:
                     kwargs["chunk"] = 256 * dc.poa_batches
-                # anchored banded NW is the default: 3x less compute /
-                # 4x less HBM than the full rectangle at bit-identical
-                # lambda quality (hybrid 944 / device 1117, measured);
-                # RAVEN_TPU_BANDED=0 opts out
+                # FULL-rectangle NW is the production default: on real
+                # TPU hardware the banded kernel's per-row band regather
+                # (three take_along_axis per DP row) is gather-throughput
+                # bound and measured 23x SLOWER than the full kernel
+                # (86 s vs 3.7 s on the 256-window polish bench,
+                # 2026-08-19) despite 3x fewer cells — gathers move ~1
+                # element/cycle while the full kernel's shifted slices
+                # stream on the VPU.  RAVEN_TPU_BANDED=1 opts back in
+                # (same lambda quality, bit-identical within the band).
                 kwargs["banded"] = (
-                    os.environ.get("RAVEN_TPU_BANDED", "1") != "0"
+                    os.environ.get("RAVEN_TPU_BANDED", "0") == "1"
                 )
                 # multi-chip: shard fragment chunks over the mesh
                 # (BASELINE polishing row '1 chip / 1 host / N hosts');
