@@ -25,14 +25,39 @@ from raven_tpu.pile.pile import Piles
 from raven_tpu.utils import stagedump
 
 # reference index batch (construct.cc:35).  RAVEN_TPU_INDEX_BATCH_BASES
-# overrides it for TPU human-scale runs: the device index covers up to
-# 2^28 entries (~800 Mb of bases) per batch, so batches beyond that fall
-# back to the host path unless shrunk.  NOTE: batch size changes which
-# overlaps survive the 32-longest capping on exact length ties, so the
-# default stays reference-faithful.
+# overrides it.  NOTE: batch size changes which overlaps survive the
+# 32-longest capping on exact length ties, so the host path stays
+# reference-faithful at 2^32.
 INDEX_BATCH_BYTES = int(
     os.environ.get("RAVEN_TPU_INDEX_BATCH_BASES", 1 << 32)
 )
+
+
+def _index_batch_bytes() -> int:
+    """Effective index-batch budget — the STREAMING regime of the
+    scaling envelope (direct <= 2^28 entries -> PartitionedIndex ->
+    streaming): with the device path active, batches clamp to the
+    partitioned index's HBM-resident ceiling so a genome beyond it
+    (e.g. D. melanogaster at 30x = 4.2 Gb) streams as several
+    partitioned batches instead of silently falling back to the host
+    build.  Explicit RAVEN_TPU_INDEX_BATCH_BASES wins; the host path
+    keeps the reference's 2^32."""
+    if os.environ.get("RAVEN_TPU_INDEX_BATCH_BASES"):
+        return INDEX_BATCH_BYTES
+    if os.environ.get("RAVEN_TPU_DEVICE_MAP", "auto") == "0":
+        return INDEX_BATCH_BYTES
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return INDEX_BATCH_BYTES
+        from raven_tpu.overlap.device_index import PartitionedIndex
+
+        # entries ~ 2/(w+1) per base at w=5; keep ~10% headroom
+        cap = int(PartitionedIndex.MAX_TOTAL_ENTRIES * 3 * 0.9)
+        return min(INDEX_BATCH_BYTES, cap)
+    except Exception:
+        return INDEX_BATCH_BYTES
 MAP_BATCH_BYTES = 1 << 30  # construct.cc:67
 SECOND_PASS_BATCH_BYTES = 1 << 30  # construct.cc:356
 VALID_REGION_COVERAGE = 4  # construct.cc:134
@@ -113,9 +138,10 @@ def find_overlaps_and_create_piles(
 
     batch_start = 0
     bytes_acc = 0
+    batch_bytes = _index_batch_bytes()
     for i in range(n):
         bytes_acc += int(lengths[i])
-        if i != n - 1 and bytes_acc < INDEX_BATCH_BYTES:
+        if i != n - 1 and bytes_acc < batch_bytes:
             continue
         bytes_acc = 0
 

@@ -483,7 +483,11 @@ class Polisher:
                         file=sys.stderr,
                     )
                 return device_window_consensus(
-                    windows, iterations=4, **kwargs
+                    windows,
+                    iterations=int(
+                        os.environ.get("RAVEN_TPU_CONSENSUS_ITERS", "4")
+                    ),
+                    **kwargs,
                 )
             except Exception:
                 if self.use_device or (dc is not None and dc.poa_batches > 0):
