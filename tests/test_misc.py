@@ -100,3 +100,35 @@ def test_native_sanitizer_gate():
         timeout=300,
     )
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_streaming_index_batch_clamp(monkeypatch):
+    """With the device path active on an accelerator, index batches clamp
+    to the PartitionedIndex HBM ceiling (the streaming regime); the host
+    path and explicit overrides keep the reference 2^32 budget."""
+    import jax
+
+    from raven_tpu.graph import construct as C
+    from raven_tpu.overlap.device_index import PartitionedIndex
+
+    monkeypatch.delenv("RAVEN_TPU_INDEX_BATCH_BASES", raising=False)
+    monkeypatch.delenv("RAVEN_TPU_DEVICE_MAP", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cap = int(PartitionedIndex.MAX_TOTAL_ENTRIES * 3 * 0.9)
+    assert C._index_batch_bytes() == min(C.INDEX_BATCH_BYTES, cap)
+    assert C._index_batch_bytes() < (1 << 32)
+
+    monkeypatch.setenv("RAVEN_TPU_DEVICE_MAP", "0")
+    assert C._index_batch_bytes() == C.INDEX_BATCH_BYTES
+
+    monkeypatch.delenv("RAVEN_TPU_DEVICE_MAP", raising=False)
+    monkeypatch.setenv("RAVEN_TPU_INDEX_BATCH_BASES", str(1 << 31))
+    import importlib
+
+    importlib.reload(C)
+    try:
+        assert C.INDEX_BATCH_BYTES == 1 << 31
+        assert C._index_batch_bytes() == 1 << 31
+    finally:
+        monkeypatch.delenv("RAVEN_TPU_INDEX_BATCH_BASES", raising=False)
+        importlib.reload(C)
