@@ -2,19 +2,22 @@
 
 The XLA consensus path (ops/consensus_device.py) materializes a
 [T, B, Q] move matrix in HBM and walks it back with a [STEPS]-long chain
-of XLA gathers — both are HBM-bandwidth/gather-latency bound through the
-remote-TPU tunnel.  This kernel keeps everything for a block of FB=8
-fragments in VMEM:
+of XLA gathers — gather throughput (~1 element/cycle) bounds the whole
+polish stage.  This kernel keeps everything for a block of FB=8
+fragments on-core:
 
   * the forward NW runs vectorized on the VPU ([8, Q] int32 rows, the
     same 3/-5/-4 scores, free consensus prefix/suffix, tie-breaks
     identical to nw_moves_kernel);
   * each row's 2-bit move codes pack 8-per-f32-word with one small MXU
-    matmul (the [T, 8, Q] move matrix becomes a [T, 8, Q/8] VMEM
-    scratch — 16x smaller than int32, never touching HBM);
-  * the traceback runs on the scalar core per fragment, emitting
-    per-row vote PRIMITIVES (column symbol + weight, insertion-run
-    starts) as compact [B, T]-shaped outputs.
+    dot_general straight into a [T, PW, FB] VMEM scratch (lane axis =
+    fragment, so the traceback's per-fragment loads index the lane
+    STATICALLY — Mosaic rejects dynamic-lane scalar loads);
+  * the traceback runs on the scalar core per fragment, accumulating
+    per-row vote primitives (column symbol + weight, insertion-run
+    starts) into SMEM scratch via scalar stores (legal in SMEM; the
+    r03 kernel died on "Cannot store scalars to VMEM"), packed one
+    int32 per (fragment, row).
 
 Vote-table aggregation stays in XLA (votes_from_primitives): one
 scatter-add over the primitives reproduces fused_votes_kernel's tables
@@ -22,7 +25,8 @@ bit-exactly (each alignment path visits every consensus row at most
 once, so per-row primitives lose nothing).
 
 Mosaic workarounds (NOTES.md): int32 lanes everywhere, pltpu.roll
-instead of unaligned lane slices, jnp.where instead of bool casts.
+instead of unaligned lane slices, jnp.where instead of bool casts,
+SMEM for all scalar-indexed stores, static-lane VMEM scratch loads.
 """
 
 from __future__ import annotations
@@ -48,7 +52,25 @@ _NEG2 = -(1 << 26)  # below any adjusted closure value
 PACK = 8  # move codes per packed f32 word (4^8 = 65536 < 2^24, exact)
 
 
+def _compiler_params():
+    """Raise the scoped-VMEM ceiling: the [T, PW, FB] packed-move
+    scratch plus pallas double buffers exceed the 16 MB default at
+    production shapes (measured 16.14 MB at T=Q=256)."""
+    try:
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=repr(96 * 1024 * 1024) and 96 * 1024 * 1024
+        )
+    except Exception:
+        try:
+            return pltpu.TPUCompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024
+            )
+        except Exception:
+            return None
+
+
 if HAS_PALLAS:
+    _COMPILER_PARAMS = _compiler_params()
 
     def _prefix_max_lanes(x, Q):
         """Inclusive prefix max along lanes via log-step circular rolls
@@ -70,15 +92,15 @@ if HAS_PALLAS:
         qlens_ref,
         wts_ref,
         packmat_ref,
-        col_sym_ref,
-        col_w_ref,
-        ins_b_ref,
-        ins_w_ref,
+        fw_smem_ref,
+        col_smem,
+        ins_smem,
         packed_ref,
         *,
         T,
         Q,
         PW,
+        TP,
     ):
         cons = cons_ref[:]  # [FB, T] int32
         frags = frags_ref[:]  # [FB, Q] int32
@@ -112,10 +134,13 @@ if HAS_PALLAS:
             cur = jnp.where(left, closed, e)
             mv = jnp.where(left, jnp.int32(2), mv)
 
-            # pack this row's move codes 8-per-word (exact f32 matmul)
-            packed_ref[r] = jnp.dot(
-                mv.astype(jnp.float32),
+            # pack this row's move codes 8-per-word, transposed so the
+            # scratch lane axis is the FRAGMENT (static in the walk):
+            # word_T[p, l] = sum_q packmat[q, p] * mv[l, q]
+            packed_ref[r] = jax.lax.dot_general(
                 packmat,
+                mv.astype(jnp.float32),
+                (((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
@@ -141,13 +166,24 @@ if HAS_PALLAS:
             ),
         )
 
-        # init outputs (5 = no column vote, -1 = no insertion)
-        col_sym_ref[:] = jnp.full((FB, T), 5, jnp.int32)
-        col_w_ref[:] = jnp.zeros((FB, T), jnp.int32)
-        ins_b_ref[:] = jnp.full(ins_b_ref.shape, -1, jnp.int32)
-        ins_w_ref[:] = jnp.zeros(ins_w_ref.shape, jnp.int32)
+        # zero the SMEM output accumulators (scalar stores; ~10k cycles)
+        def zero_col(i, _):
+            col_smem[i // T, i % T] = 0
+            return 0
 
-        # traceback per fragment on the scalar core
+        jax.lax.fori_loop(0, FB * T, zero_col, 0)
+
+        def zero_ins(i, _):
+            ins_smem[i // TP, i % TP] = 0
+            return 0
+
+        jax.lax.fori_loop(0, FB * TP, zero_ins, 0)
+
+        # traceback per fragment on the scalar core, vote primitives
+        # accumulated in SMEM: col entry = 1 | sym<<1 | weight<<4,
+        # ins entry = 1 | base<<1 | weight<<3 (each (l, row) written at
+        # most once per walk — paths visit each consensus row once and
+        # insertion runs start at distinct rows)
         for l in range(FB):
             q_len = qlens_ref[l, 0]
             row0_score = q_len * GAP
@@ -161,30 +197,27 @@ if HAS_PALLAS:
                 active = j > 0
                 tm1 = jnp.maximum(t - 1, 0)
                 jm1 = jnp.maximum(j - 1, 0)
-                word = packed_ref[tm1, l, jm1 // PACK].astype(jnp.int32)
+                word = packed_ref[tm1, jm1 // PACK, l].astype(jnp.int32)
                 loaded = (word >> (2 * (jm1 % PACK))) & 3
                 mv = jnp.where(t == 0, jnp.int32(2), loaded)
                 mv = jnp.where(active, mv, jnp.int32(3))
-                fb = frags_ref[l, jm1]
-                fw = wts_ref[l, jm1]
+                # frags/wts live in VMEM (vector forward); the walk's
+                # dynamic-lane scalar loads come from the SMEM copy
+                pk = fw_smem_ref[l, jm1]
+                fb = pk & 3
+                fw = pk >> 2
                 is_diag = mv == 0
                 is_up = mv == 1
                 is_ins = (mv == 2) & (prev_mv != 2)
 
-                @pl.when(is_diag)
+                @pl.when(is_diag | is_up)
                 def _():
-                    col_sym_ref[l, tm1] = fb
-                    col_w_ref[l, tm1] = fw
-
-                @pl.when(is_up)
-                def _():
-                    col_sym_ref[l, tm1] = jnp.int32(4)
-                    col_w_ref[l, tm1] = fw
+                    sym = jnp.where(is_diag, fb, jnp.int32(4))
+                    col_smem[l, tm1] = 1 | (sym << 1) | (fw << 4)
 
                 @pl.when(is_ins)
                 def _():
-                    ins_b_ref[l, t] = fb
-                    ins_w_ref[l, t] = fw
+                    ins_smem[l, t] = 1 | (fb << 1) | (fw << 3)
 
                 dt = jnp.where((mv == 0) | (mv == 1), 1, 0)
                 dj = jnp.where((mv == 0) | (mv == 2), 1, 0)
@@ -196,6 +229,7 @@ if HAS_PALLAS:
                 walk,
                 (t0, q_len.astype(jnp.int32), jnp.int32(3)),
             )
+
 
     @functools.partial(
         jax.jit, static_argnames=("T", "Q", "interpret")
@@ -221,16 +255,17 @@ if HAS_PALLAS:
 
         grid = (B // FB,)
         kernel = functools.partial(
-            _consensus_block_kernel, T=T, Q=Q, PW=PW
+            _consensus_block_kernel, T=T, Q=Q, PW=PW, TP=TP
         )
         out_shapes = [
             jax.ShapeDtypeStruct((B, T), jnp.int32),
-            jax.ShapeDtypeStruct((B, T), jnp.int32),
-            jax.ShapeDtypeStruct((B, TP), jnp.int32),
             jax.ShapeDtypeStruct((B, TP), jnp.int32),
         ]
         blk = lambda w: pl.BlockSpec((FB, w), lambda i: (i, 0))
-        return pl.pallas_call(
+        sblk = lambda w: pl.BlockSpec(
+            (FB, w), lambda i: (i, 0), memory_space=pltpu.SMEM
+        )
+        col_pack, ins_pack = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -240,10 +275,14 @@ if HAS_PALLAS:
                 blk(1),
                 blk(Q),
                 pl.BlockSpec((Q, PW), lambda i: (0, 0)),
+                sblk(Q),
             ],
-            out_specs=[blk(T), blk(T), blk(TP), blk(TP)],
+            out_specs=[sblk(T), sblk(TP)],
             out_shape=out_shapes,
-            scratch_shapes=[pltpu.VMEM((T, FB, PW), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((T, PW, FB), jnp.float32),
+            ],
+            compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(
             cw.astype(jnp.int32),
@@ -252,7 +291,16 @@ if HAS_PALLAS:
             qlens.astype(jnp.int32).reshape(B, 1),
             wts.astype(jnp.int32),
             jnp.asarray(pm),
+            jnp.clip(frags.astype(jnp.int32), 0, 3)
+            | (wts.astype(jnp.int32) << 2),
         )
+        col_has = (col_pack & 1) != 0
+        col_sym = jnp.where(col_has, (col_pack >> 1) & 7, jnp.int32(5))
+        col_w = jnp.where(col_has, col_pack >> 4, 0)
+        ins_has = (ins_pack & 1) != 0
+        ins_b = jnp.where(ins_has, (ins_pack >> 1) & 3, jnp.int32(-1))
+        ins_w = jnp.where(ins_has, ins_pack >> 3, 0)
+        return col_sym, col_w, ins_b, ins_w
 
     @functools.partial(jax.jit, static_argnames=("T", "NWIN"))
     def votes_from_primitives(
