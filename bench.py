@@ -287,21 +287,23 @@ def main() -> int:
             polish_rate = host_rate_1t
             engine = "host_poa_1t"
             if device_ok:
-                from raven_tpu.ops.consensus_device import (
-                    device_window_consensus,
+                # production default: the shift-banded resident engine
+                # (ops/consensus_band.py) — gather-free forward +
+                # mask-walk votes, full refinement loop in one dispatch
+                # per window group; bit-identical to the full-NW oracle
+                # on this window bank (512/512, 2026-08-20)
+                from raven_tpu.ops.consensus_band import (
+                    band_window_consensus,
                 )
 
-                # production default: full-rectangle NW (the banded
-                # kernel is gather-bound and 23x slower on real TPUs,
-                # see polish/polisher.py)
                 t0 = time.perf_counter()
-                device_window_consensus(windows, iterations=2)
+                band_window_consensus(windows, iterations=2)
                 log(f"polish device warmup {time.perf_counter() - t0:.1f}s")
                 t0 = time.perf_counter()
-                device_window_consensus(windows, iterations=2)
+                band_window_consensus(windows, iterations=2)
                 polish_rate = polish_bases / (time.perf_counter() - t0)
-                engine = "device_full_nw"
-                log(f"polish device (full NW): {polish_rate:,.0f} bases/s")
+                engine = "device_shiftband"
+                log(f"polish device (shiftband): {polish_rate:,.0f} bases/s")
             polish_fields = {
                 "polish_bases_per_s_per_chip": round(polish_rate),
                 "polish_vs_16thread_equiv": round(

@@ -766,6 +766,23 @@ def device_window_consensus(
     """
     if not HAS_JAX:
         raise RuntimeError("jax unavailable")
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _prof = _os.environ.get("RAVEN_TPU_POLISH_PROFILE") == "1"
+    _t0 = _time.perf_counter()
+
+    def _mark(label):
+        nonlocal _t0
+        if _prof:
+            now = _time.perf_counter()
+            print(
+                f"[polish_profile] {label}: {now - _t0:.3f}s",
+                file=_sys.stderr,
+            )
+            _t0 = now
+
     n_win = len(windows)
     windows = [
         (w[0], w[1], w[2], w[3] if len(w) > 3 else None)
@@ -799,6 +816,7 @@ def device_window_consensus(
     B_total = len(frag_rows)
     if B_total == 0:
         return cons
+    _mark(f"flatten ({B_total} rows, {n_win} windows)")
     # pad rows to a whole number of chunks and windows to a power-of-two
     # bucket so every dispatch reuses one compiled shape
     n_chunks = -(-B_total // chunk)
@@ -857,6 +875,9 @@ def device_window_consensus(
         wts_dev = jnp.asarray(w_arr.reshape(n_chunks, chunk, q_pad))
         qlens_dev = jnp.asarray(q_lens.reshape(n_chunks, chunk))
         winof_dev = jnp.asarray(win_of_arr.reshape(n_chunks, chunk))
+    if _prof:
+        float(frags_dev[0, 0, 0])  # force the h2d (tunnel: b_u_r no-op)
+    _mark(f"pad+h2d ({n_chunks}x{chunk} chunks)")
 
     steps = t_pad + q_pad
     BW = min(256, _pow2_of(q_pad))  # banded corridor width (lane-aligned)
@@ -888,6 +909,7 @@ def device_window_consensus(
         cons_dev = jnp.asarray(cons_arr)
         clens_dev = jnp.asarray(cons_lens)
         cruns_dev = jnp.asarray(cons_runs)
+        _mark("iter: cons prep + upload")
 
         if use_banded or mesh is not None:
             # rescale anchors to the current consensus lengths
@@ -964,9 +986,13 @@ def device_window_consensus(
                 NWIN,
                 0,
             )
+        if _prof:
+            float(cv_dev[0, 0])  # force compute completion (1-elem d2h)
+        _mark("iter: kernel dispatch+compute")
         base_votes = np.asarray(bv_dev).astype(np.int64)
         ins_votes = np.asarray(iv_dev).astype(np.int64)
         cover = np.asarray(cv_dev).astype(np.int64)
+        _mark("iter: votes d2h")
 
         new_cons = []
         for wi in range(n_win):
@@ -982,6 +1008,7 @@ def device_window_consensus(
                 )
             )
         cons = new_cons
+        _mark("iter: rebuild")
     return cons
 
 

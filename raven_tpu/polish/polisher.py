@@ -440,6 +440,61 @@ class Polisher:
                     (backbone, frag_codes, weights, spans)
                     for _, _, backbone, frag_codes, weights, spans in jobs
                 ]
+                iters = int(
+                    os.environ.get("RAVEN_TPU_CONSENSUS_ITERS", "4")
+                )
+                # production default: the shift-banded resident engine
+                # (ops/consensus_band.py) — gather-free forward +
+                # mask-walk votes, whole refinement loop in one device
+                # dispatch; ~8x the full-NW engine on hardware with
+                # identical output on realistic windows.
+                # RAVEN_TPU_CONSENSUS_ENGINE selects: shiftband (default)
+                # | full | banded | pallas (legacy engines below).
+                engine = os.environ.get(
+                    "RAVEN_TPU_CONSENSUS_ENGINE", "shiftband"
+                )
+                # explicit DeviceCfg knobs (mirrors of the reference
+                # CUDA flags, main.cc:83-93) configure the legacy
+                # engine's dispatch shape — honor them by routing there
+                if dc is not None and (
+                    dc.poa_batches > 0 or dc.banded_alignment
+                ):
+                    engine = os.environ.get(
+                        "RAVEN_TPU_CONSENSUS_ENGINE", "full"
+                    )
+                if engine == "shiftband":
+                    bkwargs = {}
+                    sp = os.environ.get(
+                        "RAVEN_TPU_SHARDED_POLISH", "auto"
+                    )
+                    want_mesh = sp == "1"
+                    if sp == "auto":
+                        try:
+                            import jax
+
+                            want_mesh = (
+                                jax.default_backend() != "cpu"
+                                and len(jax.devices()) > 1
+                            )
+                        except Exception:
+                            want_mesh = False
+                    if want_mesh:
+                        from raven_tpu.parallel.mesh import make_mesh
+
+                        bkwargs["mesh"] = make_mesh()
+                    if os.environ.get("RAVEN_TPU_VERBOSE"):
+                        print(
+                            f"[raven_tpu::Polisher] shiftband consensus "
+                            f"{len(windows)} windows {bkwargs}",
+                            file=sys.stderr,
+                        )
+                    from raven_tpu.ops.consensus_band import (
+                        band_window_consensus,
+                    )
+
+                    return band_window_consensus(
+                        windows, iterations=iters, **bkwargs
+                    )
                 kwargs = {}
                 if dc is not None and dc.poa_batches > 0:
                     kwargs["chunk"] = 256 * dc.poa_batches
@@ -483,11 +538,7 @@ class Polisher:
                         file=sys.stderr,
                     )
                 return device_window_consensus(
-                    windows,
-                    iterations=int(
-                        os.environ.get("RAVEN_TPU_CONSENSUS_ITERS", "4")
-                    ),
-                    **kwargs,
+                    windows, iterations=iters, **kwargs
                 )
             except Exception:
                 if self.use_device or (dc is not None and dc.poa_batches > 0):
