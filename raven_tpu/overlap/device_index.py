@@ -161,11 +161,13 @@ if HAS_JAX:
 
     @functools.partial(
         jax.jit,
-        static_argnames=("k", "w", "use_pallas", "cap", "with_flags"),
+        static_argnames=(
+            "k", "w", "use_pallas", "cap", "with_flags", "narrow_sort",
+        ),
     )
     def _chunk_sketch_compact(
         codes, eff, rids, base, clo, chi, budget_tbl, k, w, use_pallas,
-        cap, with_flags,
+        cap, with_flags, narrow_sort=False,
     ):
         """Sketch ALL segment chunks in one dispatch (lax.scan over the
         leading chunk axis — the per-chunk dispatches each paid a ~0.3 s
@@ -210,9 +212,39 @@ if HAS_JAX:
                     key_s[:cap], rid_s[:cap], packed_s[:cap], count
                 )
             pos1 = jnp.where(valid, (pos << 1) | sb, 0).astype(jnp.int32)
-            rid_s, key_s, pos1_s = jax.lax.sort(
-                (rid, key, pos1), num_keys=3
-            )
+            if narrow_sort:
+                # pack the 3 lexicographic sort keys into 2 u32 lanes —
+                # 1/3 less sort traffic, and this full-chunk sort is the
+                # build's hot kernel.  Layout: A = rid(16) | key>>14(16),
+                # B = key&0x3FFF(14) | pos1(18).  Caller guarantees
+                # rid < 0xFFFF, pos1 < 2^18; hashes are < 2^30 always.
+                # Invalid entries pack to A == 0xFFFFFFFF (sort last).
+                rid_p = jnp.where(
+                    rid == _INVALID_RID, jnp.uint32(0xFFFF),
+                    rid.astype(jnp.uint32),
+                )
+                key_c = jnp.minimum(key, jnp.uint32((1 << 30) - 1))
+                a = (rid_p << 16) | (key_c >> 14)
+                b = ((key_c & jnp.uint32(0x3FFF)) << 18) | pos1.astype(
+                    jnp.uint32
+                )
+                a_s, b_s = jax.lax.sort((a, b), num_keys=2)
+                rid16 = (a_s >> 16).astype(jnp.int32)
+                inval = rid16 == 0xFFFF
+                rid_s = jnp.where(inval, _INVALID_RID, rid16)
+                key_s = jnp.where(
+                    inval,
+                    UINT32_INF,
+                    ((a_s & jnp.uint32(0xFFFF)) << 14)
+                    | (b_s >> 18),
+                )
+                pos1_s = (
+                    b_s & jnp.uint32((1 << 18) - 1)
+                ).astype(jnp.int32)
+            else:
+                rid_s, key_s, pos1_s = jax.lax.sort(
+                    (rid, key, pos1), num_keys=3
+                )
             # valid entries occupy a dense prefix (the sort is rid-major
             # and every invalid entry carries rid == _INVALID_RID, the
             # max id) — so ranks, budgets and flags only need the [cap]
@@ -430,6 +462,15 @@ if HAS_JAX:
         return lo
 
     @jax.jit
+    def _join_summary(count_parts, overflows):
+        """[total matches, any overflow] in one tiny dispatch/fetch."""
+        tot = jnp.stack(
+            [c.sum(dtype=jnp.int32) for c in count_parts]
+        ).sum(dtype=jnp.int32)
+        ovf = jnp.stack([o.any() for o in overflows]).any()
+        return jnp.stack([tot, ovf.astype(jnp.int32)])
+
+    @jax.jit
     def _entry_inbatch(rid, batch_tbl):
         """Per-entry batch membership (one small-table gather, computed
         once per join call instead of once per distance)."""
@@ -459,8 +500,12 @@ if HAS_JAX:
         """
         usable = (key != UINT32_INF) & (counts >= 2) & (counts <= occ)
         primary = jnp.where(usable, counts, jnp.int32(2**31 - 1))
-        p_s, key_s, rid_s, packed_s, counts_s = jax.lax.sort(
-            (primary, key, rid, packed, counts), num_keys=2
+        # primary doubles as the counts payload: usable entries carry
+        # their exact run length, non-usable the 2^31-1 sentinel, which
+        # fails every downstream `counts <= occurrence` test just like
+        # the raw too-frequent count would — one less 42M sort operand
+        p_s, key_s, rid_s, packed_s = jax.lax.sort(
+            (primary, key, rid, packed), num_keys=2
         )
         suffix = jnp.stack(
             [
@@ -468,7 +513,7 @@ if HAS_JAX:
                 for d in range(0, MAX_D + 1)
             ]
         )
-        return key_s[:M], rid_s[:M], packed_s[:M], counts_s[:M], suffix
+        return key_s[:M], rid_s[:M], packed_s[:M], p_s[:M], suffix
 
     @functools.partial(
         jax.jit, static_argnames=("S", "capd", "need_flags")
@@ -744,6 +789,14 @@ class DeviceIndex:
             np.asarray(readset.lengths, dtype=np.int64) // k
         ).astype(np.int32)
         budget_dev = jnp.asarray(budget)
+        # 2-lane packed chunk sort: every rid must stay under the 0xFFFF
+        # packed-invalid sentinel and pos<<1|strand under 2^18
+        narrow_sort = bool(
+            need_flags
+            and ids.size
+            and int(ids.max()) < 0xFFFF
+            and int(np.asarray(readset.lengths).max()) < (1 << 17)
+        )
         # stack the segment arrays [n_chunks, chunk, ...]; the chunks are
         # dispatched in TWO groups so the second group's h2d transfer
         # overlaps the first group's sketch+sort (the ~30 MB upload costs
@@ -781,17 +834,20 @@ class DeviceIndex:
                 parts.append(
                     _chunk_sketch_compact(
                         *dev_groups[gi], budget_dev, k, w, use_pallas,
-                        cap, need_flags,
+                        cap, need_flags, narrow_sort=narrow_sort,
                     )
                 )
             if len(parts) == 1:
                 key, rid, packed, counts_dev = parts[0]
                 counts = [int(c) for c in np.asarray(counts_dev)]
             else:
+                # one concatenated d2h for all group counts (per-part
+                # fetches serialized on the tunnel round trip)
                 counts = [
                     int(c)
-                    for p in parts
-                    for c in np.asarray(p[3])
+                    for c in np.asarray(
+                        jnp.concatenate([p[3] for p in parts])
+                    )
                 ]
                 key = jnp.concatenate([p[0] for p in parts])
                 rid = jnp.concatenate([p[1] for p in parts])
@@ -970,11 +1026,20 @@ class DeviceIndex:
                 code_parts.append(codes_b)
                 count_parts.append(count_b)
                 overflows.append(ovf_b)
-            if not any(bool(o.any()) for o in overflows):
+            # ONE d2h answers both ladder questions (per-bucket fetches
+            # serialized on the tunnel round trip): [0] = total matches,
+            # [1] = any row-capacity overflow
+            if not buckets:
+                summary = np.zeros(2, np.int32)
+                break
+            summary = np.asarray(
+                _join_summary(count_parts, overflows)
+            )
+            if not bool(summary[1]):
                 break
             code_parts = None
         t0 = _prof("join.distance_buckets", t0)
-        total = sum(int(np.asarray(c).sum()) for c in count_parts)
+        total = int(summary[0])
         _prof_size(
             "join",
             n_usable=n_usable,

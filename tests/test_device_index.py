@@ -377,3 +377,45 @@ def test_partitioned_occurrence_clipped_tail():
         assert got == expected, (f, got, expected)
         if expected >= _RHBINS - 1:
             assert got >= _RHBINS - 1  # exercised the exact tail path
+
+
+def test_chunk_sort_packed_matches_wide():
+    """The 2-lane packed chunk sort (narrow_sort=True) must emit exactly
+    the 3-key wide sort's output — key/rid/packed/count all bit-equal
+    (it is the same lexicographic order, re-packed; device_index.py
+    _chunk_sketch_compact)."""
+    import jax.numpy as jnp
+
+    from raven_tpu.overlap import device_index as di
+
+    rs = _readset(seed=23, genome_len=60000, coverage=8)
+    ids = np.arange(len(rs))
+    codes, eff, rids, base, clo, chi = di.segment_reads_packed(
+        rs, ids, 15, 5, width=di.SEG_WIDTH
+    )
+    S = codes.shape[0]
+    chunk = di._pow2_at_least(S, 256, 8192)
+    S_pad = -(-S // chunk) * chunk
+    stacks = []
+    for a in (codes, eff, rids, base, clo, chi):
+        if S_pad != S:
+            a = np.concatenate(
+                [a, np.zeros((S_pad - S,) + a.shape[1:], dtype=a.dtype)]
+            )
+        stacks.append(
+            jnp.asarray(a.reshape((-1, chunk) + a.shape[1:]))
+        )
+    budget = (
+        np.asarray(rs.lengths, dtype=np.int64) // 15
+    ).astype(np.int32)
+    cap = max(4096, int(chunk * di.SEG_WIDTH * 0.35) // 4096 * 4096)
+    outs = {}
+    for narrow in (False, True):
+        outs[narrow] = di._chunk_sketch_compact(
+            *stacks, jnp.asarray(budget), 15, 5, False, cap, True,
+            narrow_sort=narrow,
+        )
+    for a, b, name in zip(
+        outs[False], outs[True], ("key", "rid", "packed", "counts")
+    ):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
