@@ -131,6 +131,24 @@ def main() -> int:
     )
     cons_bases = sum(len(c) for c in sharded)
 
+    # the production polish default (shift-banded resident engine) under
+    # the same cross-process contract
+    from raven_tpu.ops.consensus_band import band_window_consensus
+
+    bwins = [
+        (bb, frs, wts, [(0, f.size) for f in frs])
+        for bb, frs, wts in wins
+    ]
+    b_local = band_window_consensus(
+        bwins, iterations=1, t_pad=256, q_pad=256
+    )
+    b_sharded = band_window_consensus(
+        bwins, iterations=1, t_pad=256, q_pad=256, mesh=mesh
+    )
+    consensus_ok = consensus_ok and all(
+        np.array_equal(a, b) for a, b in zip(b_local, b_sharded)
+    )
+
     print(
         json.dumps(
             {
