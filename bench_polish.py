@@ -83,6 +83,23 @@ def main() -> int:
         if _bench.tpu_alive():
             from raven_tpu.ops.consensus_device import device_window_consensus
 
+            # production default: shift-banded resident engine
+            from raven_tpu.ops.consensus_band import band_window_consensus
+
+            t0 = time.perf_counter()
+            out_band = band_window_consensus(windows, iterations=2)
+            log(
+                f"shiftband warmup: {time.perf_counter() - t0:.1f}s"
+            )
+            t0 = time.perf_counter()
+            band_window_consensus(windows, iterations=2)
+            dtsb = time.perf_counter() - t0
+            sb_value = total_bases / dtsb
+            log(
+                f"device consensus (shiftband, production): "
+                f"{sb_value:,.0f} bases/s ({dtsb:.1f}s)"
+            )
+
             t0 = time.perf_counter()
             out_full = device_window_consensus(windows, iterations=2)
             warm = time.perf_counter() - t0
@@ -93,6 +110,15 @@ def main() -> int:
             value = total_bases / dt
             ratio = value / host_rate
             log(f"device consensus (full NW): {value:,.0f} bases/s ({dt:.1f}s)")
+            n_same = sum(
+                1
+                for a, b in zip(out_band, out_full)
+                if np.array_equal(np.asarray(a), np.asarray(b))
+            )
+            log(f"shiftband vs full NW identical: {n_same}/{len(windows)}")
+            if sb_value > value:
+                value = sb_value
+                ratio = value / host_rate
 
             # anchored banded NW (true compute savings)
             bwin = [
