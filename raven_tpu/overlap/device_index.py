@@ -163,11 +163,12 @@ if HAS_JAX:
         jax.jit,
         static_argnames=(
             "k", "w", "use_pallas", "cap", "with_flags", "narrow_sort",
+            "cap_row",
         ),
     )
     def _chunk_sketch_compact(
         codes, eff, rids, base, clo, chi, budget_tbl, k, w, use_pallas,
-        cap, with_flags, narrow_sort=False,
+        cap, with_flags, narrow_sort=False, cap_row=SEG_WIDTH,
     ):
         """Sketch ALL segment chunks in one dispatch (lax.scan over the
         leading chunk axis — the per-chunk dispatches each paid a ~0.3 s
@@ -212,6 +213,37 @@ if HAS_JAX:
                     key_s[:cap], rid_s[:cap], packed_s[:cap], count
                 )
             pos1 = jnp.where(valid, (pos << 1) | sb, 0).astype(jnp.int32)
+            # row pre-compaction: every segment row belongs to ONE read
+            # with ascending positions, so a shallow row sort by
+            # (key, pos1) moves its valid entries to a dense prefix and
+            # the expensive full-depth chunk sort runs on half the
+            # slots.  cap_row bounds one row's minimizer count
+            # (winnowing density ~0.33; overflow forces the ladder's
+            # next rung where cap_row == SEG_WIDTH disables compaction).
+            if cap_row < SEG_WIDTH:
+                key2 = key.reshape(-1, SEG_WIDTH)
+                pos1_2 = pos1.reshape(-1, SEG_WIDTH)
+                rid_row = rid.reshape(-1, SEG_WIDTH).min(axis=1)
+                key_rs, pos1_rs = jax.lax.sort(
+                    (key2, pos1_2), dimension=1, num_keys=2
+                )
+                rowcnt = (key_rs != UINT32_INF).sum(
+                    axis=1, dtype=jnp.int32
+                )
+                row_over = (rowcnt > cap_row).any()
+                colr = jnp.arange(cap_row, dtype=jnp.int32)
+                key = key_rs[:, :cap_row].reshape(-1)
+                pos1 = pos1_rs[:, :cap_row].reshape(-1)
+                rid = jnp.where(
+                    colr[None, :] < rowcnt[:, None],
+                    rid_row[:, None],
+                    _INVALID_RID,
+                ).reshape(-1)
+                # a clipped row must fail the chunk-capacity check so
+                # the caller's ladder retries at the uncompacted rung
+                count = jnp.where(
+                    row_over, jnp.int32(cap + 1), count
+                )
             if narrow_sort:
                 # pack the 3 lexicographic sort keys into 2 u32 lanes —
                 # 1/3 less sort traffic, and this full-chunk sort is the
@@ -822,7 +854,7 @@ class DeviceIndex:
         # is ~2/(w+1) (measured 0.30 at w=5 on the 115 Mbp bench) — the
         # tight cap shrinks every downstream sort; rare dense batches
         # retry at the generous cap (true counts checked below)
-        for density in (0.35, 0.45):
+        for density, cap_row in ((0.35, 1024), (0.45, SEG_WIDTH)):
             # 4096-multiple: the in-chunk rank scan blocks on 2^12 rows
             cap = max(
                 4096, int(chunk * SEG_WIDTH * density) // 4096 * 4096
@@ -835,6 +867,7 @@ class DeviceIndex:
                     _chunk_sketch_compact(
                         *dev_groups[gi], budget_dev, k, w, use_pallas,
                         cap, need_flags, narrow_sort=narrow_sort,
+                        cap_row=cap_row if need_flags else SEG_WIDTH,
                     )
                 )
             if len(parts) == 1:

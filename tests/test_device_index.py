@@ -410,12 +410,20 @@ def test_chunk_sort_packed_matches_wide():
     ).astype(np.int32)
     cap = max(4096, int(chunk * di.SEG_WIDTH * 0.35) // 4096 * 4096)
     outs = {}
-    for narrow in (False, True):
-        outs[narrow] = di._chunk_sketch_compact(
-            *stacks, jnp.asarray(budget), 15, 5, False, cap, True,
-            narrow_sort=narrow,
-        )
-    for a, b, name in zip(
-        outs[False], outs[True], ("key", "rid", "packed", "counts")
+    for narrow, cap_row in (
+        (False, di.SEG_WIDTH),  # wide 3-key sort, no row compaction
+        (True, di.SEG_WIDTH),   # packed 2-lane sort
+        (True, 1024),           # packed + row pre-compaction
     ):
-        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+        outs[(narrow, cap_row)] = di._chunk_sketch_compact(
+            *stacks, jnp.asarray(budget), 15, 5, False, cap, True,
+            narrow_sort=narrow, cap_row=cap_row,
+        )
+    ref = outs[(False, di.SEG_WIDTH)]
+    for variant, out in outs.items():
+        for a, b, name in zip(
+            ref, out, ("key", "rid", "packed", "counts")
+        ):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (
+                variant, name,
+            )
