@@ -231,8 +231,7 @@ if HAS_JAX:
             return (tails, tidx), prev_j
 
         (tails, tidx), prev_cols = jax.lax.scan(
-            step, (tails0, tidx0), jnp.arange(G, dtype=jnp.int32),
-            unroll=4,
+            step, (tails0, tidx0), jnp.arange(G, dtype=jnp.int32)
         )
         prev = jnp.transpose(prev_cols)  # [n_g, G]
         L = (tails < I32_INF).sum(axis=1, dtype=jnp.int32)
@@ -258,7 +257,6 @@ if HAS_JAX:
             (start, jnp.zeros((n_g, G), bool)),
             None,
             length=G,
-            unroll=4,
         )
         return keep
 

@@ -86,12 +86,20 @@ from raven_tpu.ops.sketch import (
 )
 
 SEG_WIDTH = 2048
-MAX_D = 32  # static unroll cap; occurrence > MAX_D + 1 -> host fallback
+# Static distance-unroll cap; occurrence > MAX_D + 1 -> host fallback.
+# 40 covers the synthetic ladder's occurrence values (ecoli@50x filters
+# to occ=35; the old cap of 32 silently host-joined that whole
+# construct) while keeping SAFE_JOIN_ENTRIES (~104.7M) above the
+# worst-case usable fraction (~40%) of the largest single-sort index
+# (2^28 entries) AND of a PART_TARGET partition (201M entries).
+# Raising it further shrinks the encodable-table bound below that
+# envelope — RAVEN_TPU_MAX_D overrides for exotic coverage profiles.
+MAX_D = int(os.environ.get("RAVEN_TPU_MAX_D", "40"))
 # Pair codes pack (compacted index, distance) as uint32 gidx*(MAX_D+1)+d.
 # The largest encodable table: every code must stay strictly below the
 # 0xFFFFFFFF sentinel, so gidx <= (2^32-2-MAX_D)//(MAX_D+1).  Joins over
 # more usable entries than this return None (host fallback) — without the
-# bound, gidx >= 130,150,524 wraps modulo 2^32 and decodes wrong pairs.
+# bound, gidx wraps modulo 2^32 and decodes wrong pairs.
 SAFE_JOIN_ENTRIES = (0xFFFFFFFE - MAX_D) // (MAX_D + 1) + 1
 
 # packed position column: pos | strand << 29 | flag << 30  (pos < 2^29)
@@ -854,7 +862,12 @@ class DeviceIndex:
         # is ~2/(w+1) (measured 0.30 at w=5 on the 115 Mbp bench) — the
         # tight cap shrinks every downstream sort; rare dense batches
         # retry at the generous cap (true counts checked below)
-        for density, cap_row in ((0.35, 1024), (0.45, SEG_WIDTH)):
+        cap_row_first = int(
+            os.environ.get("RAVEN_TPU_CAP_ROW", "1024")
+        )
+        for density, cap_row in (
+            (0.35, cap_row_first), (0.45, SEG_WIDTH),
+        ):
             # 4096-multiple: the in-chunk rank scan blocks on 2^12 rows
             cap = max(
                 4096, int(chunk * SEG_WIDTH * density) // 4096 * 4096

@@ -14,6 +14,7 @@ bucket (the TP analog), reads data-parallel, all-to-all pair exchange.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -187,7 +188,9 @@ if HAS_JAX:
 
 from raven_tpu.ops.sketch import segment_reads, sketch_segments_kernel
 
-SH_MAX_D = 32  # static shift-distance cap (occurrence > SH_MAX_D + 1 -> host)
+# static shift-distance cap (occurrence > SH_MAX_D + 1 -> host); kept in
+# lockstep with device_index.MAX_D (see the envelope analysis there)
+SH_MAX_D = int(os.environ.get("RAVEN_TPU_MAX_D", "40"))
 # Per-device pair codes pack (local index, distance) as uint32
 # idx*(SH_MAX_D+1)+d; codes must stay strictly below the 0xFFFFFFFF
 # sentinel, so the per-device shard may hold at most this many entries

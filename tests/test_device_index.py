@@ -427,3 +427,28 @@ def test_chunk_sort_packed_matches_wide():
             assert np.array_equal(np.asarray(a), np.asarray(b)), (
                 variant, name,
             )
+
+
+def test_high_occurrence_stays_on_device(monkeypatch):
+    """Occurrence values up to MAX_D + 1 = 41 must run the device join —
+    the old MAX_D = 32 silently host-joined whole constructs whose
+    Filter quantile landed at 34-41 (ecoli@50x synthetic filters to
+    occurrence 35)."""
+    from raven_tpu.overlap import device_index as di
+
+    assert di.MAX_D >= 40
+
+    rs = _readset(seed=31)
+    ids = np.arange(len(rs))
+    dev = _device_index(rs, ids, monkeypatch=monkeypatch)
+    host = _host_index(rs, ids, monkeypatch=monkeypatch)
+    for idx in (dev, host):
+        idx.filter(0.001)
+        idx._occurrence = 35  # force the regression regime
+    rdev = dev.map_many(rs, ids, minhash=True)
+    assert dev._hashes is None, "device join fell back to host at occ 35"
+    rhost = host.map_many(rs, ids, minhash=True)
+    a, b = _sorted_results(rdev), _sorted_results(rhost)
+    assert set(a) == set(b)
+    for rid in a:
+        assert np.array_equal(a[rid], b[rid]), f"read {rid} differs"
