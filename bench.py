@@ -358,6 +358,17 @@ def main() -> int:
                     "vs_baseline movement; the device bases/s value is "
                     "the stable cross-round metric"
                 ),
+                "r05_note": (
+                    "device bases/s 27.2M (r4) -> 33.2M (r5) on the "
+                    "identical workload (packed 2-lane chunk sort, row "
+                    "pre-compaction, fused join-summary fetch, MAX_D 40); "
+                    "polish_engine is now the shift-banded resident "
+                    "engine (ops/consensus_band.py), 9-11x the full-NW "
+                    "path and bit-identical to it. DEVICE walls swing "
+                    "+-40% with tunnel conditions across hours (steady "
+                    "3.46-5.1 s measured same-day, same code) - compare "
+                    "rounds on bases/s, same-process A/B only"
+                ),
                 **polish_fields,
             }
         )
